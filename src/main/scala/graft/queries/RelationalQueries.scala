@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q.{decSum, t}
+
+/** The relational operator inventory (SURVEY.md §2.2–§2.8) re-expressed
+  * over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Query keys are prefixed with the SURVEY §2 operator ids they cover
+  * (aN = aggregation, wN = window, jN = join, pN = projection/filter,
+  * uN = set op, oN = sort/top-k, fN = scalar/higher-order functions).
+  */
+object RelationalQueries {
+
+  // ---------------------------------------------------------------- A: aggs
+
+  /** A-class groupBy/agg (A8-style counts + decimal-exact double sums);
+    * TPC-H Q1 shape over lineitem. Filter pushes to the parquet scan.
+    */
+  val pricingSummary: Q = Q(
+    "a1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** A1/A5/A7-style collect_list/collect_set, made deterministic by sorting
+    * before string-joining (cf. SURVEY.md §4 landmines on unordered
+    * collect_list).
+    */
+  val collectSorted: Q = Q(
+    "a2_collect_set_sorted",
+    """SELECT o_custkey,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** A3/A9-style per-group first/min/max rollup (deterministic min/max in
+    * place of the reference's nondeterministic `first`, SURVEY.md §4).
+    */
+  val groupMinMax: Q = Q(
+    "a3_group_minmax",
+    """SELECT l_orderkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS total_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        decSum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** A8/A10 count_distinct (expand-based distinct aggregate). */
+  val countDistinctQ: Q = Q(
+    "a8_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
+  /** A11 whole-row distinct. */
+  val distinctQ: Q = Q(
+    "a11_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+  }
+
+  /** A12 keyed dedup. The reference's `dropDuplicates(subset)` picks an
+    * arbitrary row (SURVEY.md §4 landmine); our rebuild is the deterministic
+    * variant — row_number over an explicit tiebreak ordering.
+    */
+  val keyedDedup: Q = Q(
+    "a12_keyed_dedup",
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+      |  FROM lineitem) WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** A13 approx_count_distinct (HLL++, rsd 0.01 as in reference
+    * Grounding.scala:543–550). No DuckDB oracle — HLL implementations
+    * differ; correctness is covered by the spec comparing against exact
+    * counts within rsd.
+    */
+  val approxDistinct: Q = Q.rowsOnly("a13_approx_count_distinct") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+  }
+
+  // ------------------------------------------------------------- W: windows
+
+  /** W2 running aggregate over the default ordered frame (the reference's
+    * relevance-vector window, Processing.scala:118–120, relies on exactly
+    * this RANGE UNBOUNDED PRECEDING..CURRENT ROW behavior).
+    */
+  val runningSum: Q = Q(
+    "w2_running_sum",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10)))
+      |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE) AS running_qty
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      sum(col("l_quantity").cast("decimal(30,10)")).over(w).cast("double").as("running_qty"))
+  }
+
+  /** W3 two-level windowed min + filter — the disambiguation shape
+    * (reference Grounding.scala:111–142): keep rows whose per-(user,type)
+    * min equals the global per-type min.
+    */
+  val twoLevelMin: Q = Q(
+    "w3_two_level_min",
+    """SELECT DISTINCT event_type, user_id, min_value FROM (
+      |  SELECT event_type, user_id, umin AS min_value,
+      |    min(umin) OVER (PARTITION BY event_type) AS gmin
+      |  FROM (
+      |    SELECT event_type, user_id, value,
+      |      min(value) OVER (PARTITION BY user_id, event_type) AS umin
+      |    FROM events))
+      |WHERE min_value <= gmin""".stripMargin) { (s, dir) =>
+    val wUser = Window.partitionBy(col("user_id"), col("event_type"))
+    val wType = Window.partitionBy(col("event_type"))
+    t(s, dir, "events")
+      .withColumn("umin", min(col("value")).over(wUser))
+      .withColumn("gmin", min(col("umin")).over(wType))
+      .filter(col("umin") <= col("gmin"))
+      .select(col("event_type"), col("user_id"), col("umin").as("min_value"))
+      .distinct()
+  }
+
+  /** W4 dense_rank top-1 per group, ties kept (reference
+    * Grounding.scala:195–203 keeps all tied groundings).
+    */
+  val denseRankTop1: Q = Q(
+    "w4_dense_rank_top1",
+    """SELECT s_nationkey, s_name, s_acctbal FROM (
+      |  SELECT s_nationkey, s_name, s_acctbal,
+      |    dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rk
+      |  FROM supplier) WHERE rk = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+    t(s, dir, "supplier")
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") === 1)
+      .select(col("s_nationkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  /** W5 collect_set over a window + dedup (reference Embedding.scala:41–46),
+    * deterministic via sort+join.
+    */
+  val windowCollectSet: Q = Q(
+    "w5_window_collect_set",
+    """SELECT l_orderkey,
+      |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey"))
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        array_join(sort_array(collect_set(col("l_returnflag")).over(w)), ",").as("flags"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------------- J: joins
+
+  /** J1-style broadcast equi-join: fact × broadcast small dim. At 100 TB the
+    * part table for a given scale still fits an executor, so the explicit
+    * broadcast hint (reference Grounding.scala:585) is the right call here.
+    */
+  val broadcastJoin: Q = Q(
+    "j1_broadcast_join",
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** J5/J6/P11: left-outer join + coalesce null repair (reference
+    * Grounding.scala:332–334, Processing.scala:109–112).
+    */
+  val leftOuterCoalesce: Q = Q(
+    "j5_left_outer_coalesce",
+    """SELECT c_custkey, c_mktsegment, coalesce(n, 0) AS n_orders
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey""".stripMargin) { (s, dir) =>
+    val perCust = t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    t(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_mktsegment"), coalesce(col("n"), lit(0L)).as("n_orders"))
+  }
+
+  /** J4 anti join (reference Grounding.scala:330 drops rows whose key is
+    * already in the LUT).
+    */
+  val antiJoin: Q = Q(
+    "j4_anti_join",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Semi join (EXISTS) — completes the join-type inventory. */
+  val semiJoin: Q = Q(
+    "j2_semi_join",
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** J11 theta self-join: equi key + inequality residual (the evidence
+    * target×disease pairing, reference Evidence.scala:78–83).
+    */
+  val thetaSelfJoin: Q = Q(
+    "j11_theta_self_join",
+    """SELECT s_nationkey AS nationkey, count(*) AS n_pairs
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND s_suppkey <> c_custkey
+      |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+    val sup = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer")
+    sup
+      .join(cust, sup("s_nationkey") === cust("c_nationkey") && sup("s_suppkey") =!= cust("c_custkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("s_nationkey", "nationkey")
+  }
+
+  /** J12 merge of two aggregate branches, left_outer + fill(0) (reference
+    * Evidence.scala:141–143).
+    */
+  val mergeFill: Q = Q(
+    "j12_merge_fill",
+    """SELECT a.o_custkey AS custkey, a.n_orders, coalesce(b.n_open, 0) AS n_open
+      |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+      |ON a.o_custkey = b.o_custkey""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val all = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val open = orders
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_open"))
+    all
+      .join(open, col("o_custkey") === col("k"), "left_outer")
+      .na.fill(0L, Seq("n_open"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"), col("n_open"))
+  }
+
+  // -------------------------------------------- P: projections / predicates
+
+  /** P4–P9 predicate mix: IN-list, range, prefix, regex (reference
+    * Processing.scala:87, Grounding.scala:349, 559).
+    */
+  val filterPredicates: Q = Q(
+    "p4_filter_predicates",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE lang IN ('en','de') AND n_chars > 100
+      |  AND source LIKE 'src1%' AND regexp_matches(text, 'spark')""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(
+        col("lang").isInCollection(Seq("en", "de")) &&
+          col("n_chars") > 100 &&
+          col("source").startsWith("src1") &&
+          col("text").rlike("spark"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** P10–P12 when/otherwise chain, floor-cast, coalesce (reference
+    * Vectors.scala:28–32, Grounding.scala:323–342).
+    */
+  val caseCastCoalesce: Q = Q(
+    "p10_case_cast_coalesce",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 1000 THEN 'low'
+      |       WHEN o_totalprice < 10000 THEN 'mid'
+      |       ELSE 'high' END AS price_band,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  coalesce(CASE WHEN o_orderstatus = 'O' THEN o_orderstatus END, 'NA') AS status_o
+      |FROM orders""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 1000, "low")
+        .when(col("o_totalprice") < 10000, "mid")
+        .otherwise("high")
+        .as("price_band"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      coalesce(when(col("o_orderstatus") === "O", col("o_orderstatus")), lit("NA")).as("status_o"))
+  }
+
+  /** P1 struct build + star expansion (reference Processing.scala:35). */
+  val structExpand: Q = Q(
+    "p1_struct_expand",
+    "SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity FROM lineitem") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(
+        struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("k"),
+        col("l_quantity"))
+      .select(col("k.*"), col("l_quantity"))
+  }
+
+  // ----------------------------------------------------- U/O: set ops, sort
+
+  /** U1 unionByName + distinct (reference Grounding.scala:531–547). */
+  val unionDistinct: Q = Q(
+    "u1_union_distinct",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+  }
+
+  /** O1/O3 global sort + top-k with a deterministic tiebreak. */
+  val orderByTopK: Q = Q(
+    "o1_orderby_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  // ------------------------------------------------- F: scalar functions
+
+  /** §2.8 string kernel: lower/translate/substring_index/concat_ws/length
+    * (reference Grounding.scala:347, Helpers.scala:94–96,
+    * Grounding.scala:263–264, 298).
+    */
+  val stringFuncs: Q = Q(
+    "f1_string_funcs",
+    """SELECT p_partkey, lower(p_name) AS name_lower,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_trans,
+      |  split_part(p_brand, '#', 2) AS brand_num,
+      |  concat_ws('-', p_type, p_brand) AS type_brand,
+      |  length(p_name) AS name_len
+      |FROM part""".stripMargin) { (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("name_lower"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("name_trans"),
+      substring_index(col("p_brand"), "#", -1).as("brand_num"),
+      concat_ws("-", col("p_type"), col("p_brand")).as("type_brand"),
+      length(col("p_name")).as("name_len"))
+  }
+
+  /** §2.8 date kernel: year/month/dayofmonth (reference
+    * Grounding.scala:337–342).
+    */
+  val dateFuncs: Q = Q(
+    "f2_date_funcs",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+      |  count(*) AS n, max(CAST(EXTRACT(day FROM o_orderdate) AS INT)) AS max_day
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), max(dayofmonth(col("o_orderdate"))).as("max_day"))
+  }
+
+  /** §2.8 array kernel: sequence/explode/size (reference
+    * Grounding.scala:168ff, Processing.scala:16).
+    */
+  val arrayFuncs: Q = Q(
+    "f3_array_funcs",
+    """SELECT o_orderkey, CAST(sum(i) AS BIGINT) AS tri_sum, count(*) AS n
+      |FROM (SELECT o_orderkey, unnest(generate_series(1, o_orderkey % 4 + 1)) AS i FROM orders)
+      |GROUP BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        explode(sequence(lit(1L), col("o_orderkey") % 4 + 1)).as("i"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("i")).as("tri_sum"), count(lit(1)).as("n"))
+  }
+
+  /** §2.8 to_json over struct (the literatureIndex sentences column shape,
+    * reference Processing.scala:105).
+    */
+  val jsonFuncs: Q = Q(
+    "f4_to_json",
+    """SELECT o_orderkey,
+      |  to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS j
+      |FROM orders""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_json(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("s"))).as("j"))
+  }
+
+  /** The harmonic relevance kernel (M-class; reference Helpers.scala:98–103)
+    * as a grouped score: Σ price_k/k² over each customer's orders sorted
+    * descending. Oracle reproduces it with row_number arithmetic.
+    */
+  val harmonicScore: Q = Q(
+    "f5_harmonic_score",
+    """SELECT o_custkey, round(sum(o_totalprice / pow(rn, 2)), 4) AS harmonic
+      |FROM (SELECT o_custkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+      |      FROM orders)
+      |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(graft.functions.Scoring.harmonicSorted(collect_list(col("o_totalprice"))), 4).as("harmonic"))
+  }
+
+  val all: Seq[Q] = Seq(
+    pricingSummary, collectSorted, groupMinMax, countDistinctQ, distinctQ,
+    keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
+    windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
+    thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
+    unionDistinct, orderByTopK, stringFuncs, dateFuncs, arrayFuncs, jsonFuncs,
+    harmonicScore)
+}
