@@ -23,6 +23,12 @@ def normalize(df):
 
 
 def values_equal(a, b):
+    try:
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):

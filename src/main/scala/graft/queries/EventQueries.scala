@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q.{decSum, t}
+
+/** Event-time operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props-json) — tumbling windows, sessionization,
+  * lag/lead deltas, JSON extraction, pivot. These are the batch twins of
+  * the Structured Streaming surface in graft.streaming: identical window
+  * and session semantics, verifiable against the DuckDB oracle.
+  *
+  * The parquet `ts` is TIMESTAMP(NANOS); the session reads it as long
+  * nanos (spark.sql.legacy.parquet.nanosAsLong). `ts div 1000` is integer
+  * micros — exactly DuckDB's epoch_us(ts) — so all time arithmetic below
+  * is integer-exact cross-engine. (A double division would corrupt the
+  * low bits: 1.7e18 ns exceeds the 2^53 double mantissa.)
+  */
+object EventQueries {
+
+  private def tsMicros: Column = expr("ts div 1000")
+  private def tsCol: Column = timestamp_micros(tsMicros)
+
+  /** Tumbling 1-hour window aggregation per event type — the canonical
+    * event-time rollup (map-side-combinable single shuffle on
+    * (hour, type)).
+    */
+  val hourlyAgg: Q = Q(
+    "e1_hourly_agg",
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", tsCol).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap: lag → new-session
+    * flag → running sum = session id → per-session rollup. Two window
+    * passes over the same (user_id, ts) partitioning — one shuffle, both
+    * windows pipelined in a single sort.
+    */
+  val sessionize: Q = Q(
+    "e2_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, tu,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(tu) - min(tu) AS duration_us
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(s, dir, "events")
+      .select(col("user_id"), tsMicros.as("tu"), col("event_id"))
+      .withColumn("prev", lag(col("tu"), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev").isNull || col("tu") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("tu")) - min(col("tu"))).as("duration_us"))
+  }
+
+  /** JSON property extraction + rollup (semi-structured payloads are the
+    * norm in event pipelines; extraction is codegen'd, no UDF).
+    */
+  val jsonProps: Q = Q(
+    "e3_json_props",
+    """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+        count(lit(1)).as("n"))
+  }
+
+  /** lag-based inter-event deltas per user (the feature behind
+    * time-since-last-action signals).
+    */
+  val lagDeltas: Q = Q(
+    "e4_lag_deltas",
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), tsMicros.as("tu"))
+      .select(col("event_id"), col("user_id"), (col("tu") - lag(col("tu"), 1).over(w)).as("delta_us"))
+  }
+
+  /** Pivot: per-user event-type counts as columns. Spark's relational
+    * pivot operator; the oracle spells out the equivalent conditional
+    * aggregation.
+    */
+  val pivotCounts: Q = Q(
+    "e5_pivot_counts",
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+  }
+
+  /** ROLLUP grouping sets over (event_type, hour) — subtotal + grand-total
+    * rows, with grouping() markers folded into sentinel labels so the
+    * output is null-free (hash-compare-safe) while keeping ANSI ROLLUP
+    * semantics in both engines.
+    */
+  val rollupCounts: Q = Q(
+    "e6_rollup_counts",
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour, count(*) AS n
+      |FROM events GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .rollup(col("event_type"), date_trunc("hour", tsCol).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"), lit("ALL")).as("hour"),
+        col("n"))
+  }
+
+  val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts, rollupCounts)
+}

@@ -7,5 +7,6 @@ package graft.queries
   */
 object QueryRegistry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all ++ MultimodalQueries.all
 }
