@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.input_file_name
+import org.apache.spark.sql.types.StructType
+
+/** Declarative IO layer (reference spark/Helpers.scala:108–126, 208–235:
+  * IOResourceConfig-driven readFrom/writeTo).
+  *
+  * Departure from the reference, by design: readers take an EXPLICIT
+  * schema wherever the format cannot self-describe. Schema inference on
+  * JSON forces a full pre-pass over the data (at 100 TB that is a second
+  * scan of the corpus) and `inferSchema` on CSV likewise; a supplied
+  * schema also lets the JSON reader skip unused fields entirely
+  * (SURVEY.md §4, column pruning).
+  */
+object Io {
+
+  final case class ReadSpec(
+      format: String,
+      path: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty,
+      /** tag rows with their source file (reference Grounding.scala:322) */
+      withProvenance: Boolean = false)
+
+  final case class WriteSpec(
+      format: String,
+      path: String,
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil,
+      mode: String = "error")
+
+  def read(spark: SparkSession, spec: ReadSpec): DataFrame = {
+    val reader = spark.read.format(spec.format).options(spec.options)
+    val withSchema = spec.schema.fold(reader)(reader.schema)
+    val df = withSchema.load(spec.path)
+    if (spec.withProvenance) df.withColumn("trace_source", input_file_name()) else df
+  }
+
+  def readAll(spark: SparkSession, specs: Map[String, ReadSpec]): Map[String, DataFrame] =
+    specs.map { case (k, s) => k -> read(spark, s) }
+
+  def write(df: DataFrame, spec: WriteSpec): Unit = {
+    val w = df.write.mode(spec.mode).options(spec.options)
+    val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
+    p.format(spec.format).save(spec.path)
+  }
+
+  def writeAll(outputs: Map[String, (DataFrame, WriteSpec)]): Unit =
+    outputs.foreach { case (_, (df, spec)) => write(df, spec) }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the event stream (batch twins live in
+  * graft.queries.EventQueries — same window/session semantics, verified
+  * against the DuckDB oracle there; these are the incremental versions).
+  *
+  * The reference is batch-only (SURVEY.md §2.10) — this is a
+  * beyond-parity capability: the same aggregations a 100 TB/day event
+  * pipeline needs, expressed with watermarks so state is bounded and late
+  * data has defined semantics.
+  */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, session_start: Timestamp,
+    n_events: Int, total_value: Double)
+
+/** Open-session accumulator for flatMapGroupsWithState (top-level: nested
+  * case classes break Janino encoder codegen).
+  */
+final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+
+object EventStreams {
+
+  /** Tumbling 1-hour per-type counts/sums with a 2-hour watermark: late
+    * events beyond the watermark are dropped deterministically; state per
+    * open window only.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Built-in session windows: 30-minute inactivity gap, watermark-bounded
+    * state — the declarative path, preferred when per-session output is a
+    * plain aggregate.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Custom sessionization via flatMapGroupsWithState — the escape hatch
+    * for session logic the declarative API can't express (emit-on-close,
+    * custom merge rules). Event-time timeout closes a session 30 minutes
+    * after its last event as the watermark passes.
+    */
+  def sessionize(events: Dataset[Event], spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start), s.n, s.total))
+          } else {
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            // process in event-time order; a batch may deliver unordered rows
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact-dedup on event_id within the watermark horizon —
+    * the at-least-once → exactly-once repair stage of an ingest pipeline.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+}

@@ -1,0 +1,63 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-io").toFile.getAbsolutePath
+
+  "Io" should "write partitioned parquet and read it back with pruning" in {
+    val dir = tmp() + "/part"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "k", "v")
+    Io.write(df, Io.WriteSpec("parquet", dir, partitionBy = Seq("k")))
+
+    val back = Io.read(spark, Io.ReadSpec("parquet", dir))
+    back.count() shouldBe 3
+    // partition pruning: only the k=a directory is scanned
+    val pruned = back.filter(col("k") === "a")
+    pruned.count() shouldBe 2
+    pruned.queryExecution.executedPlan.toString() should include("PartitionFilters: [isnotnull(k")
+  }
+
+  it should "read gzip CSV with an explicit schema (no inference pass)" in {
+    val dir = tmp()
+    val csv = new java.io.File(dir, "ids.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(csv))
+    out.write("PMID,PMCID,DOI\n1,PMC1,10.1/a\n2,PMC2,10.1/b\n".getBytes)
+    out.close()
+
+    val schema = StructType(Seq(
+      StructField("PMID", StringType), StructField("PMCID", StringType),
+      StructField("DOI", StringType)))
+    val df = Io.read(spark, Io.ReadSpec("csv", csv.getAbsolutePath,
+      Some(schema), Map("header" -> "true")))
+    df.schema shouldBe schema
+    df.count() shouldBe 2
+  }
+
+  it should "read JSON with explicit schema and attach provenance" in {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "d.json"),
+      """{"pmid":"1","n":5}""" + "\n" + """{"pmid":"2","n":6}""" + "\n")
+    val schema = StructType(Seq(StructField("pmid", StringType), StructField("n", LongType)))
+    val df = Io.read(spark, Io.ReadSpec("json", dir, Some(schema), withProvenance = true))
+    df.columns should contain("trace_source")
+    df.filter(col("trace_source").contains("d.json")).count() shouldBe 2
+  }
+
+  it should "fan out multiple writes" in {
+    val base = tmp()
+    val df = Seq((1, "x")).toDF("a", "b")
+    Io.writeAll(Map(
+      "one" -> (df, Io.WriteSpec("parquet", s"$base/one")),
+      "two" -> (df, Io.WriteSpec("json", s"$base/two"))))
+    spark.read.parquet(s"$base/one").count() shouldBe 1
+    spark.read.json(s"$base/two").count() shouldBe 1
+  }
+}
