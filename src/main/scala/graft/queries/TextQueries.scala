@@ -67,22 +67,40 @@ object TextQueries {
 
   private val seeds = 1 to 4
 
+  /** One md5 per shingle, then 4 hex ROTATIONS as the permutation family:
+    * each rotation is a bijection on 32-char hex strings, so taking the
+    * min under each rotated ordering is an independent MinHash
+    * permutation — at 1/4 the hashing cost of seeded re-hashing (the hash
+    * is the hot loop: it runs once per shingle occurrence over the whole
+    * corpus).
+    */
   private def sigAggs: Seq[Column] =
-    seeds.map(h => min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"sig$h"))
+    seeds.map(h =>
+      min(concat(substring(col("m"), h + 1, 32 - h), substring(col("m"), 1, h))).as(s"sig$h"))
 
   private def sigSelectSql: String =
-    seeds.map(h => s"min(md5('$h:' || shingle)) AS sig$h").mkString(", ")
+    seeds.map(h => s"min(substr(m, ${h + 1}) || substr(m, 1, $h)) AS sig$h").mkString(", ")
 
-  /** MinHash signatures (4 permutations approximated by seeded MD5): the
-    * per-doc signature is min over shingles of md5(seed||shingle). Shuffle
-    * key is doc_id; the shingle explosion is map-side only.
+  /** (doc_id, m=md5(shingle)) — the hashed shingle stream feeding the
+    * signature aggregation.
+    */
+  private def hashedShingles(c: DataFrame): DataFrame =
+    shingles(c).select(col("doc_id"), md5(col("shingle")).as("m"))
+
+  private val hashedShinglesSql =
+    s"SELECT doc_id, md5(shingle) AS m FROM (${shinglesSql.replace("__CORPUS__", "corpus")})"
+
+  /** MinHash signatures (4 rotation-permutations over one MD5 per
+    * shingle): per-doc signature is the min hash under each permutation.
+    * Shuffle key is doc_id with map-side partial min — the shingle
+    * explosion never leaves the mapper.
     */
   val minhashSignature: Q = Q(
     "d2_minhash_signature",
     s"""SELECT doc_id, $sigSelectSql
-       |FROM (${shinglesSql.replace("__CORPUS__", "documents")})
+       |FROM (${hashedShinglesSql.replace("corpus", "documents")})
        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    shingles(t(s, dir, "documents").select(col("doc_id"), col("text")))
+    hashedShingles(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
   }
@@ -98,7 +116,7 @@ object TextQueries {
     s"""WITH corpus AS ($corpusSql),
        |sigs AS (
        |  SELECT doc_id, $sigSelectSql
-       |  FROM (${shinglesSql.replace("__CORPUS__", "corpus")})
+       |  FROM ($hashedShinglesSql)
        |  GROUP BY doc_id),
        |banded AS (
        |  SELECT doc_id, sig1, sig2, sig3, sig4, unnest([md5(sig1 || sig2), md5(sig3 || sig4)]) AS band
@@ -109,7 +127,7 @@ object TextQueries {
        |         CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END +
        |         CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) / 4.0, 6) AS est_sim
        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
-    val sigs = shingles(corpus(s, dir)).groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = hashedShingles(corpus(s, dir)).groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val banded = sigs.select(
       col("doc_id"), col("sig1"), col("sig2"), col("sig3"), col("sig4"),
       explode(array(md5(concat(col("sig1"), col("sig2"))), md5(concat(col("sig3"), col("sig4"))))).as("band"))

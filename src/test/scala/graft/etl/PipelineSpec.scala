@@ -78,6 +78,17 @@ class PipelineSpec extends SparkSpec {
     norm should be > 0.0
   }
 
+  "Word2Vec model" should "survive a save/load round trip" in {
+    val model = Embedding.generateModel(matches, spark,
+      Embedding.W2VConfig(vectorSize = 8, numPartitions = 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v").toFile.getAbsolutePath + "/m"
+    model.save(dir)
+    val back = org.apache.spark.ml.feature.Word2VecModel.load(dir)
+    val a = model.getVectors.orderBy("word").collect().map(_.toString)
+    val b = back.getVectors.orderBy("word").collect().map(_.toString)
+    a shouldBe b
+  }
+
   "Evidence" should "merge similarity and co-occurrence scores" in {
     val model = Embedding.generateModel(matches, spark,
       Embedding.W2VConfig(vectorSize = 8, numPartitions = 1))
