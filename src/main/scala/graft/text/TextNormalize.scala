@@ -85,11 +85,11 @@ object TextNormalize {
   def normalizeTokens(tokens: Column): Column =
     filter(transform(tokens, t => regexp_replace(lower(t), "[^a-z0-9_]", "")), t => t =!= "")
 
-  private val stemArray =
-    udf((tokens: Seq[String]) => if (tokens == null) null else tokens.map(PorterStemmer.stem))
-
-  /** Porter-stem every token (one UDF call per array, not per token). */
-  def stemTokens(tokens: Column): Column = stemArray(tokens)
+  /** Porter-stem every token — a native codegen'd Catalyst expression
+    * (graft.text.StemArrayExpression), not a UDF: stays inside
+    * WholeStageCodegen with no per-row converter allocation.
+    */
+  def stemTokens(tokens: Column): Column = StemArrayExpression(tokens)
 
   /** Stemmed token array for the LT path (transliterate → tokenize with
     * dash/slash splits → stop-word removal → normalize → stem).

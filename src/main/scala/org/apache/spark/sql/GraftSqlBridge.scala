@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression bridge. Spark 4 made the converters
+  * `private[sql]` (Column wraps a ColumnNode, not an Expression), so
+  * libraries shipping native expressions need one file in this package —
+  * the established pattern for Spark-extension libraries.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
