@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at corpus scale: exact, MinHash+LSH, SimHash and
+  * n-gram-Jaccard near-dup — each shaped so the shuffle carries hashes and
+  * ids, never the document payloads, and no stage materializes N² pairs.
+  *
+  * Used by the oracle-checked queries in graft.queries.TextQueries (d1–d5)
+  * and directly available as a library API.
+  */
+object Dedup {
+
+  /** (doc_id, shingle) word n-grams. Documents with fewer than `n` words
+    * drop out. The explosion is map-side only — every consumer aggregates
+    * or hashes before any shuffle.
+    */
+  def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs.filter(size(w) >= n)
+      .select(
+        col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " "))).as("shingle"))
+  }
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * canonical (minimum) id and the duplicate count. Shuffles 32-char
+    * hashes, not documents.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-permutation MinHash signature aggregates over a hashed-shingle
+    * stream (column `m` = md5(shingle)). Permutation k is the hex
+    * rotation by k — a bijection on hash strings, so min-under-rotation
+    * is an independent MinHash permutation at 1/k the hashing cost of
+    * seeded re-hashing.
+    */
+  def minhashSigs(numPerms: Int): Seq[Column] =
+    (1 to numPerms).map(h =>
+      min(concat(substring(col("m"), h + 1, 32 - h), substring(col("m"), 1, h))).as(s"sig$h"))
+
+  /** (doc_id, sig1..sigP) MinHash signature table. */
+  def minhashSignatures(docs: DataFrame, numPerms: Int = 4): DataFrame = {
+    val sigs = minhashSigs(numPerms)
+    shingles(docs)
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: docs sharing a band
+    * bucket are compared, estimated similarity = matching-signature
+    * fraction. The join shuffles on the band hash — never all pairs.
+    */
+  def minhashCandidates(signatures: DataFrame, numPerms: Int = 4, bandSize: Int = 2): DataFrame = {
+    require(numPerms % bandSize == 0, "numPerms must divide into bands")
+    val bands = (1 to numPerms).grouped(bandSize).toSeq
+      .map(g => md5(concat(g.map(h => col(s"sig$h")): _*)))
+    val banded = signatures.withColumn("band", explode(array(bands: _*)))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val matches = (1 to numPerms)
+      .map(h => when(col(s"a.sig$h") === col(s"b.sig$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        (matches / numPerms.toDouble).as("est_sim"))
+      .distinct()
+  }
+
+  /** SimHash over word hashes: `bits`-wide signature where bit b is the
+    * sign of the per-word vote sum — near-dups differ in few bits. One
+    * fully map-side-combinable aggregation.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    def nibble(k: Int): Column = conv(substring(md5(col("word")), k + 1, 1), 16, 10).cast("int")
+    def vote(b: Int): Column =
+      sum(when(floor(nibble(b / 4) / math.pow(2, b % 4).toInt) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    val votes = (0 until bits).map(vote)
+    val sig = (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
+    * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
+    * Shuffles on the shingle key (bounded frequency), never N² pairs.
+    */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val inter = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+    // no broadcast hint on sizes: it is one row per document — tiny at
+    // test scale, but far beyond broadcast range on a real corpus. AQE
+    // promotes it to broadcast when it actually fits.
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")),
+        col("doc1") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")),
+        col("doc2") === col("doc_id")).drop("doc_id")
+      .filter(jac >= minJaccard)
+      .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+  }
+}

@@ -32,8 +32,8 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
-  /** Order-insensitive, exact sum of a double column: accumulate as
-    * decimal(30,10) (associative, exact), return double.
+  /** Order-insensitive, exact sum of a double column (see
+    * graft.functions.Exact).
     */
-  def decSum(c: Column): Column = sum(c.cast("decimal(30,10)")).cast("double")
+  def decSum(c: Column): Column = graft.functions.Exact.decSum(c)
 }

@@ -1,31 +1,26 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ann.Ann
 import graft.functions.VectorOps
 import graft.queries.Q.{decSum, t}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * float[64], label) — the ANN surface of a training-data pipeline, plus
   * the reference's vector-table export ops (norms/categories, reference
-  * Vectors.scala:28–34).
-  *
-  * All cosine/dot kernels are Spark higher-order functions
-  * (graft.functions.VectorOps) — codegen'd, UDF-free — and every fold runs
-  * left-to-right in double precision, matching DuckDB's list_* kernels
-  * bit-for-bit so results can be hash-compared unrounded (rounding here is
-  * only a guard against future engine changes).
+  * Vectors.scala:28–34). The Spark side delegates to graft.ann.Ann; all
+  * kernels are codegen'd folds whose left-to-right double arithmetic
+  * matches DuckDB's list_* functions bit-for-bit (rounding is a guard,
+  * not load-bearing).
   */
 object VectorQueries {
 
-  private def emb(c: Column = col("embedding")): Column = VectorOps.toDoubleArray(c)
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
-  /** Brute-force cosine top-k: the exact baseline every ANN variant is
-    * measured against. The query side (5 vectors) is broadcast, so the
-    * candidate scan is a single no-shuffle map stage followed by a
-    * small top-k-per-query window — at 100 TB the same plan holds as long
-    * as the query set stays broadcastable.
+  /** Brute-force cosine top-k — the exact baseline every ANN variant is
+    * measured against (Ann.bruteForceKnn: broadcast query side, no-shuffle
+    * candidate scan, per-query top-k window).
     */
   val knnBrute: Q = Q(
     "v1_knn_brute",
@@ -38,25 +33,13 @@ object VectorQueries {
       |                       ORDER BY list_cosine_similarity(qe, ne) DESC, neighbor_id) AS rn
       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
-    val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), emb().as("qe"))
-    val c = e.select(col("vec_id").as("neighbor_id"), emb().as("ne"))
-    val sim = VectorOps.cosine(col("qe"), col("ne"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    val e = emb(s, dir)
+    Ann.bruteForceKnn(e, e.filter(col("vec_id") < 5), k = 3)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** LSH-bucketed ANN — the scale path. Each vector gets an 8-bit
-    * sign-projection code (axis hyperplanes on dims 1..8); candidate pairs
-    * are generated only inside a bucket, so the join shuffles on the code
-    * (256 buckets) and never materializes N² pairs. Same recall/cost shape
-    * as random-hyperplane SimHash ANN, with deterministic hyperplanes so
-    * the DuckDB oracle reproduces it exactly.
+  /** LSH-bucketed ANN pairs (Ann.lshPairs) — the candidate-generation
+    * scale path: 8-bit sign-projection code, pairs only inside a bucket.
     */
   val lshAnnPairs: Q = Q(
     "v2_lsh_ann_pairs",
@@ -75,24 +58,13 @@ object VectorQueries {
       |  round(list_cosine_similarity(a.e, b.e), 6) AS sim
       |FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.e, b.e) >= 0.2""".stripMargin) { (s, dir) =>
-    val bucket = (1 to 8)
-      .map(k => when(element_at(col("embedding"), k) > 0f, lit(1 << (k - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
-    val coded = t(s, dir, "embeddings")
-      .select(col("vec_id"), emb().as("e"), bucket.cast("int").as("bucket"))
-    val a = coded.alias("a")
-    val b = coded.alias("b")
-    val sim = VectorOps.cosine(col("a.e"), col("b.e"))
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .filter(sim >= 0.2)
-      .select(
-        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.bucket").as("bucket"), round(sim, 6).as("sim"))
+    Ann.lshPairs(emb(s, dir), bits = 8, minSim = 0.2)
+      .select(col("id1"), col("id2"), col("bucket"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Per-label centroid (IVF coarse-quantizer training shape): posexplode
-    * to (label, dim, value), aggregate exactly via decimal, divide by the
-    * label count. One shuffle on (label, dim) — fully map-side combinable.
+  /** Per-label centroids (Ann.centroidComponents — the IVF
+    * coarse-quantizer training shape): exact decimal means over
+    * posexploded components.
     */
   val labelCentroids: Q = Q(
     "v3_label_centroids",
@@ -101,27 +73,59 @@ object VectorQueries {
       |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
       |      FROM embeddings)
       |GROUP BY label, dim""".stripMargin) { (s, dir) =>
-    t(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-      .groupBy(col("label"), (col("dim0") + 1).as("dim"))
-      .agg((decSum(col("v").cast("double")) / count(lit(1))).as("c"))
-      .select(col("label"), col("dim"), round(col("c"), 6).as("centroid"))
+    Ann.centroidComponents(emb(s, dir), "label")
+      .select(col("cell").as("label"), col("dim"), round(col("centroid"), 6).as("centroid"))
   }
 
   /** Vector norms + prefix categories — the reference's vectors-table
-    * export (Vectors.scala:28–34: L2 norm + id-prefix category), norms via
-    * codegen'd fold instead of the reference's UDF.
+    * export (Vectors.scala:28–34), norms via codegen'd fold instead of the
+    * reference's UDF.
     */
   val vectorNorms: Q = Q(
     "v4_vector_norms",
     """SELECT vec_id, round(sqrt(list_dot_product(e, e)), 6) AS norm,
       |  CASE WHEN label < 3 THEN 'low' ELSE 'high' END AS category
       |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin) { (s, dir) =>
-    t(s, dir, "embeddings").select(
+    emb(s, dir).select(
       col("vec_id"),
-      round(VectorOps.l2Norm(emb()), 6).as("norm"),
+      round(VectorOps.l2Norm(VectorOps.toDoubleArray(col("embedding"))), 6).as("norm"),
       when(col("label") < 3, "low").otherwise("high").as("category"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms)
+  /** IVF search (Ann.ivfSearch): route each query to its nearest label
+    * centroid, exact top-k inside that cell only — with C cells the fine
+    * search scans ~1/C of the corpus per query, and the routing table is
+    * broadcast-sized by construction.
+    */
+  val ivfSearch: Q = Q(
+    "v5_ivf_search",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |comp AS (
+      |  SELECT label AS cell, dim,
+      |    CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+      |  FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+      |        FROM embeddings)
+      |  GROUP BY cell, dim),
+      |cents AS (SELECT cell, list(c ORDER BY dim) AS ce FROM comp GROUP BY cell),
+      |q AS (SELECT vec_id AS query_id, ev AS qe FROM e WHERE vec_id < 5),
+      |assigned AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.query_id, q.qe, cents.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qe, cents.ce) DESC, cents.cell) AS rn
+      |    FROM q CROSS JOIN cents) WHERE rn = 1)
+      |SELECT query_id, cell, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.qe, e.ev) AS sim,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY list_cosine_similarity(a.qe, e.ev) DESC, e.vec_id) AS rn
+      |  FROM assigned a JOIN e ON e.label = a.cell AND e.vec_id <> a.query_id)
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    Ann.ivfSearch(e, "label", e.filter(col("vec_id") < 5), k = 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch)
 }

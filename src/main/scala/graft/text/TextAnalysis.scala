@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis features for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All
+  * codegen'd column expressions over the raw text — no UDFs, no shuffles
+  * beyond what the caller aggregates.
+  *
+  * The oracle-checked queries (graft.queries.TextQueries x1–x4) delegate
+  * here, so the library API is exactly what the DuckDB oracle validates.
+  */
+object TextAnalysis {
+
+  /** Per-language stop-word seed lists for the voting heuristic. Real
+    * pipelines would use char-n-gram profiles; the dataflow shape (one
+    * map-side score per language, argmax) is identical.
+    */
+  val stopWordSeeds: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "es" -> Seq("el", "los", "las", "y", "si"))
+
+  /** Count of words present in `stop`. */
+  def stopCount(wordsCol: Column, stop: Seq[String]): Column =
+    size(filter(wordsCol, w => array_contains(typedLit(stop), w)))
+
+  /** Language prediction by stop-word voting over lowercased words, 'und'
+    * (undetermined) when no list scores.
+    */
+  def langId(text: Column): Column = {
+    val w = split(lower(text), " ")
+    val s = stopWordSeeds.view.mapValues(stopCount(w, _)).toMap
+    when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es") && s("en") > 0, "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es") && s("de") > 0, "de")
+      .when(s("fr") >= s("es") && s("fr") > 0, "fr")
+      .when(s("es") > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Whitespace word count (empty tokens excluded). */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, " "), w => w =!= ""))
+
+  /** Non-alphanumeric character count (quality-signal numerator). */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Composite quality score: length saturation × (1 − punctuation
+    * ratio) — the standard cheap pre-training filter feature.
+    */
+  def qualityScore(nWords: Column, nPunct: Column, nChars: Column): Column =
+    least(nWords.cast("double") / 50, lit(1.0)) * (lit(1) - nPunct.cast("double") / nChars)
+
+  /** 31-polynomial rolling hash mod 1e9+7 over the character stream — a
+    * deterministic content fingerprint computable identically in any
+    * engine with a left fold.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit("[\\s\\S]"), lit(0)),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+}
