@@ -47,6 +47,29 @@ object Io {
     p.format(spec.format).save(spec.path)
   }
 
+  /** Bucketed table spec: pre-shuffling a fact table into `numBuckets` by
+    * its join/aggregation key makes every later equi-join or groupBy on
+    * that key shuffle-free — the decisive layout choice for repeatedly
+    * joined 100 TB tables. Requires saveAsTable (bucket metadata lives in
+    * the catalog).
+    */
+  final case class TableSpec(
+      table: String,
+      format: String = "parquet",
+      numBuckets: Int = 0,
+      bucketBy: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil,
+      mode: String = "error")
+
+  def writeTable(df: DataFrame, spec: TableSpec): Unit = {
+    var w = df.write.mode(spec.mode).format(spec.format)
+    if (spec.bucketBy.nonEmpty) {
+      w = w.bucketBy(spec.numBuckets, spec.bucketBy.head, spec.bucketBy.tail: _*)
+      if (spec.sortBy.nonEmpty) w = w.sortBy(spec.sortBy.head, spec.sortBy.tail: _*)
+    }
+    w.saveAsTable(spec.table)
+  }
+
   def writeAll(outputs: Map[String, (DataFrame, WriteSpec)]): Unit =
     outputs.foreach { case (_, (df, spec)) => write(df, spec) }
 }
