@@ -362,6 +362,43 @@ object RelationalQueries {
       .distinct()
   }
 
+  /** U2 intersect (distinct semantics in both engines). */
+  val intersectQ: Q = Q(
+    "u2_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** U3 except (distinct semantics in both engines). */
+  val exceptQ: Q = Q(
+    "u3_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** CUBE grouping sets (all 4 subtotal combinations), null-free via
+    * sentinels for hash-compare safety.
+    */
+  val cubeCounts: Q = Q(
+    "a14_cube_counts",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"))
+  }
+
   /** O1/O3 global sort + top-k with a deterministic tiebreak. */
   val orderByTopK: Q = Q(
     "o1_orderby_topk",
@@ -460,6 +497,6 @@ object RelationalQueries {
     keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
-    unionDistinct, orderByTopK, stringFuncs, dateFuncs, arrayFuncs, jsonFuncs,
-    harmonicScore)
+    unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
+    dateFuncs, arrayFuncs, jsonFuncs, harmonicScore)
 }
