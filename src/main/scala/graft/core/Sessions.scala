@@ -30,6 +30,9 @@ object Sessions {
       .config("spark.sql.broadcastTimeout", "3000")
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // zstd beats snappy ~30-40% on size at comparable speed — at 100 TB
+      // the storage + IO saving dominates the marginal CPU
+      .config("spark.sql.parquet.compression.codec", "zstd")
     master.fold(b)(b.master)
   }
 

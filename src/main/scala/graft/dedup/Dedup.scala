@@ -91,6 +91,34 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
+    * via the band pigeonhole: split the signature into `maxHamming + 1`
+    * bands — any pair within the distance budget agrees on at least one
+    * band, so candidates come from band-equality bucket joins (shuffling
+    * on (band_no, band_value), never N² pairs) and the exact Hamming
+    * filter runs only on candidates.
+    */
+  def simhashPairs(sigs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftright(col("simhash"), b * bandBits) % (1L << bandBits)
+      }: _*)).as(Seq("band_no", "band_val")))
+    val hamming = bit_count(expr("a.simhash ^ b.simhash"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
     * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
     * Shuffles on the shingle key (bounded frequency), never N² pairs.

@@ -119,6 +119,42 @@ object TextQueries {
     }
   }
 
+  /** SimHash near-dup pairs (Dedup.simhashPairs): Hamming ≤ 3 via the
+    * 4-band pigeonhole — candidates from band-bucket joins, exact Hamming
+    * filter on candidates only. Runs over the near-dup-augmented corpus
+    * so results are non-trivial.
+    */
+  val simhashPairs: Q = {
+    val bits = 0 until 16
+    def nibbleSql(k: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(word), ${k + 1}, 1)) - 1)"
+    def voteSql(b: Int): String = {
+      val shifted = s"(${nibbleSql(b / 4)} // ${math.pow(2, b % 4).toInt})"
+      s"sum(CASE WHEN $shifted % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }
+    val simhashSql: String =
+      bits.map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    Q(
+      "d6_simhash_pairs",
+      s"""WITH corpus AS ($corpusSql),
+         |sigs AS (
+         |  SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM (
+         |    SELECT doc_id, ${bits.map(voteSql).mkString(", ")}
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+         |    GROUP BY doc_id)),
+         |banded AS (
+         |  SELECT doc_id, simhash, band_no, (simhash >> (band_no * 4)) % 16 AS band_val
+         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_no))
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus(s, dir)))
+        .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
+    }
+  }
+
   // --------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard near-dup pairs (Dedup.jaccardPairs): shingle
@@ -249,6 +285,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, minhashSignature, minhashLshPairs, simhash, ngramJaccardPairs,
-    langId, qualityScore, tokenStats, fingerprint, textKeys)
+    dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
+    ngramJaccardPairs, langId, qualityScore, tokenStats, fingerprint, textKeys)
 }
