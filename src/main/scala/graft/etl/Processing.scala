@@ -100,6 +100,46 @@ object Processing {
         "relevance", "keywordType", "sentences")
   }
 
+  /** Per-publication match rollup (reference aggregateMatches,
+    * Processing.scala:127–178 — present but never called by the
+    * reference's apply; provided here for API completeness): per-keyword
+    * counts, the per-pub term set with counts, and nested title/abstract
+    * match structures. The reference's order-dependent `first()` picks
+    * are replaced by deterministic `max` over per-pub-constant columns,
+    * and collected arrays are sorted (SURVEY.md §4).
+    */
+  def aggregateMatches(unwrappedMatches: DataFrame): DataFrame = {
+    val base = unwrappedMatches.filter(col("section").isNotNull && col("isMapped") === true)
+
+    val countsPerKey = base
+      .groupBy(col("pmid"), col("keywordId"))
+      .agg(
+        max(col("pmcid")).as("pmcid"),
+        max(col("date")).as("pubDate"),
+        first(col("organisms")).as("organisms"),
+        count(col("keywordId")).as("countsPerKey"))
+      .groupBy(col("pmid"))
+      .agg(
+        max(col("pmcid")).as("pmcid"),
+        max(col("pubDate")).as("pubDate"),
+        first(col("organisms")).as("organisms"),
+        sort_array(collect_set(struct(col("keywordId"), col("countsPerKey"))))
+          .as("countsPerTerm"),
+        sort_array(collect_set(col("keywordId"))).as("terms"))
+
+    val aggregated = base
+      .filter(col("section").isInCollection(Seq("title", "abstract")))
+      .withColumn("match", struct(
+        col("endInSentence"), col("label"), col("sectionEnd"), col("sectionStart"),
+        col("startInSentence"), col("type"), col("keywordId"), col("isMapped")))
+      .groupBy(col("pmid"), col("section"))
+      .agg(sort_array(array_distinct(collect_list(col("match")))).as("matches"))
+      .groupBy(col("pmid"))
+      .agg(sort_array(collect_list(struct(col("section"), col("matches")))).as("sentences"))
+
+    countsPerKey.join(aggregated, Seq("pmid"), "left_outer")
+  }
+
   /** Full processing outputs over a grounding result (reference apply,
     * Processing.scala:180–223): matches/cooccurrences (valid + failed) and
     * the literature index.

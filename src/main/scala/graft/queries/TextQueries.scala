@@ -284,7 +284,21 @@ object TextQueries {
       array_join(filter(toks, w => w =!= ""), "").as("tt_key"))
   }
 
+  /** Stemmed LT/TT keys over the document corpus — exercises the native
+    * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
+    * the bench path. Rows-only: Porter stemming has no SQL-expressible
+    * oracle; the algorithm itself is locked by PorterStemmerSpec golden
+    * vocabulary and StemExpressionSpec kernel-parity tests.
+    */
+  val stemmedKeys: Q = Q.rowsOnly("t2_stemmed_keys") { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.text.TextNormalize.ltKey(col("text")).as("lt_key"),
+      graft.text.TextNormalize.ttKey(col("text")).as("tt_key"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    ngramJaccardPairs, langId, qualityScore, tokenStats, fingerprint, textKeys)
+    ngramJaccardPairs, langId, qualityScore, tokenStats, fingerprint, textKeys,
+    stemmedKeys)
 }

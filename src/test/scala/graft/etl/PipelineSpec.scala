@@ -45,6 +45,19 @@ class PipelineSpec extends SparkSpec {
       .as[String].head() shouldBe "DS"
   }
 
+  "Processing.aggregateMatches" should "roll up per-pub term counts and nested matches" in {
+    val agg = Processing.aggregateMatches(matches).cache()
+    // doc1: SNCA ×3 + asthma ×1
+    val row = agg.filter(col("pmid") === "1")
+      .select("terms", "countsPerTerm.countsPerKey")
+      .as[(Seq[String], Seq[Long])].head()
+    row._1 shouldBe Seq("EFO_0000270", "ENSG0001")
+    row._2 shouldBe Seq(1L, 3L) // sorted by keywordId: asthma 1, SNCA 3
+    // nested title/abstract matches present for doc1
+    agg.filter(col("pmid") === "1")
+      .select(org.apache.spark.sql.functions.size(col("sentences"))).as[Int].head() shouldBe 1
+  }
+
   "Embedding.trainingSet" should "build per-rank and overall term bags" in {
     val ts = Embedding.trainingSet(matches, spark).cache()
     // doc1: rank1 bag {EFO_0000270, ENSG0001}, rank2 bag {ENSG0001},
