@@ -80,12 +80,15 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       bits: Int = 16): DataFrame = {
     require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
-    def nibble(k: Int): Column = conv(substring(md5(col("word")), k + 1, 1), 16, 10).cast("int")
+    // hash each word ONCE in a projection — the 16 bit-votes then read
+    // nibbles of the same value instead of re-hashing per bit
+    def nibble(k: Int): Column = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
     def vote(b: Int): Column =
       sum(when(floor(nibble(b / 4) / math.pow(2, b % 4).toInt) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
     val votes = (0 until bits).map(vote)
     val sig = (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))

@@ -61,12 +61,15 @@ object Fixtures {
         | {"section":"Abstract","text":"α-synuclein aggregation",
         |  "matches":[{"label":"α-synuclein","type":"GP","startInSentence":0,"endInSentence":11,"sectionStart":0,"sectionEnd":11}],
         |  "co-occurrence":[]}]}""".stripMargin.replaceAll("\n", ""),
-      // doc 5: ambiguous label p38 (two targets share the TT key)
+      // doc 5: ambiguous label p38 (two targets share the TT key) + an OG
+      // (organism) match — a type outside GP/DS/CD that can never ground
       """{"pmid":"5","pmcid":"PMC5","pubDate":"2023-05-05","organisms":[],
         |"journal info":{"name":"J5"},
         |"sentences":[
-        | {"section":"Title","text":"p38 signalling",
-        |  "matches":[{"label":"p38","type":"GP","startInSentence":0,"endInSentence":3,"sectionStart":0,"sectionEnd":3}],
+        | {"section":"Title","text":"p38 signalling in mouse",
+        |  "matches":[
+        |   {"label":"p38","type":"GP","startInSentence":0,"endInSentence":3,"sectionStart":0,"sectionEnd":3},
+        |   {"label":"mouse","type":"OG","startInSentence":18,"endInSentence":23,"sectionStart":18,"sectionEnd":23}],
         |  "co-occurrence":[]}]}""".stripMargin.replaceAll("\n", ""),
       // doc 6: no ids at all → filtered out
       """{"pmid":"","pmcid":"","pubDate":"","organisms":[],

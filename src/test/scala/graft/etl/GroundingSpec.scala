@@ -80,7 +80,12 @@ class GroundingSpec extends SparkSpec {
     matches.count() shouldBe 9
     matches.select(col("match.keywordId")).as[String].collect().toSet shouldBe
       Set("ENSG0001", "EFO_0000270", "ENSG0002", "EFO_0000305", "ENSG0003", "ENSG0004")
-    g("matchesFailed").count() shouldBe 0
+    // the OG (organism) match can never ground — types outside GP/DS/CD
+    // have no key flavor (reference Grounding.scala:173–181) — and must
+    // surface in the failed output, not silently vanish
+    g("matchesFailed").count() shouldBe 1
+    g("matchesFailed").select("label", "type").as[(String, String)].head() shouldBe
+      (("mouse", "OG"))
   }
 
   "resolveCooccurrences" should "ground both sides of GP-DS pairs" in {
