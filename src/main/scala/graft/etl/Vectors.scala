@@ -33,4 +33,12 @@ object Vectors {
         col("vector"))
 
   def fromModel(model: Word2VecModel): DataFrame = compute(model.getVectors)
+
+  /** Top-k nearest entities to `entityId` in the embedding space —
+    * the model's downstream query capability (MLlib findSynonyms:
+    * cosine-ranked over the vocabulary).
+    */
+  def synonyms(model: Word2VecModel, entityId: String, k: Int): DataFrame =
+    model.findSynonyms(entityId, k)
+      .withColumnRenamed("word", "entityId")
 }

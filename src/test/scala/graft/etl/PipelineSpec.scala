@@ -91,6 +91,16 @@ class PipelineSpec extends SparkSpec {
     norm should be > 0.0
   }
 
+  "Vectors.synonyms" should "rank the vocabulary by similarity" in {
+    val model = Embedding.generateModel(matches, spark,
+      Embedding.W2VConfig(vectorSize = 8, numPartitions = 1))
+    val syn = Vectors.synonyms(model, "ENSG0001", 3).cache()
+    syn.columns.toSeq shouldBe Seq("entityId", "similarity")
+    syn.count() should be <= 3L
+    // the query word itself is excluded
+    syn.filter(col("entityId") === "ENSG0001").count() shouldBe 0
+  }
+
   "Word2Vec model" should "survive a save/load round trip" in {
     val model = Embedding.generateModel(matches, spark,
       Embedding.W2VConfig(vectorSize = 8, numPartitions = 1))
