@@ -315,7 +315,12 @@ object Grounding {
     val idLut = loadEpmcIds(epmcIds)
     val lut = entityLut(targets, diseases, drugs)
     val sentences = filterSentences(loadSentences(graft.core.SchemaTools.replaceSpaces(epmc), idLut))
+    // persist: the grounded-label table feeds BOTH resolves (matches and
+    // two cooccurrence sides) — without it the vocabulary scan + stemming
+    // + LUT join subtree runs three times (reference Grounding.scala:603
+    // persists the same frame DISK_ONLY)
     val mapped = mapEntities(sentences, lut)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (matches, matchesFailed) = resolveMatches(sentences, mapped)
     val (coocs, coocsFailed) = resolveCooccurrences(sentences, mapped)
     Map(

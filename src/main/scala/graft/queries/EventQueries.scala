@@ -138,5 +138,45 @@ object EventQueries {
         col("n"))
   }
 
-  val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts, rollupCounts)
+  /** from_json typed parsing (vs e3's path extraction): the props payload
+    * parsed against an explicit schema, then aggregated. At scale the
+    * schema'd parse is codegen'd and prunes unparsed fields.
+    */
+  val fromJsonTyped: Q = Q(
+    "e7_from_json_typed",
+    """SELECT user_id,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+  }
+
+  /** MapType ops used internally (map_from_entries + element_at over the
+    * per-user type→count map) with a scalar output so the result remains
+    * engine-comparable; oracle computes the same lookup without maps.
+    */
+  val mapOps: Q = Q(
+    "e8_map_ops",
+    """SELECT user_id,
+      |  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        size(map_keys(col("m"))).cast("long").as("n_types"))
+  }
+
+  val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts,
+    rollupCounts, fromJsonTyped, mapOps)
 }
