@@ -197,6 +197,55 @@ object RelationalQueries {
       .distinct()
   }
 
+  /** W-class completeness: lead / ntile / percent_rank with fully unique
+    * tiebreak orderings (cross-engine determinism).
+    */
+  val leadNtile: Q = Q(
+    "w6_lead_ntile",
+    """SELECT o_orderkey,
+      |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+      |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+      |  round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      lead(col("o_orderkey"), 1).over(byDate).as("next_order"),
+      ntile(4).over(byPrice).as("quartile"),
+      round(percent_rank().over(byPrice), 6).as("pr"))
+  }
+
+  /** Exact interpolated percentiles (median + p90) per group. */
+  val percentiles: Q = Q(
+    "a15_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"))
+  }
+
+  /** Statistical aggregates: stddev / correlation / covariance. */
+  val statsAggs: Q = Q(
+    "a16_stats_aggs",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+      |  round(covar_samp(l_discount, l_tax), 6) AS cov_dt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+  }
+
   // --------------------------------------------------------------- J: joins
 
   /** J1-style broadcast equi-join: fact × broadcast small dim. At 100 TB the
@@ -498,5 +547,6 @@ object RelationalQueries {
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
-    dateFuncs, arrayFuncs, jsonFuncs, harmonicScore)
+    dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
+    statsAggs)
 }

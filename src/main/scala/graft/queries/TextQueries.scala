@@ -284,6 +284,31 @@ object TextQueries {
       array_join(filter(toks, w => w =!= ""), "").as("tt_key"))
   }
 
+  /** Sentence segmentation (the EPMC per-sentence data model applied to
+    * raw text): split on sentence punctuation, explode with positions,
+    * emit per-sentence stats. The explode is map-side; downstream sees
+    * (doc, sentence_no, stats).
+    */
+  val sentenceSplit: Q = Q(
+    "x5_sentence_split",
+    """SELECT doc_id, CAST(i - 1 AS INT) AS sentence_no,
+      |  length(trim(s)) AS n_chars,
+      |  len(list_filter(string_split(trim(s), ' '), t -> t <> '')) AS n_words
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s,
+      |             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS i
+      |      FROM documents)
+      |WHERE length(trim(s)) > 0""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), "[.!?]+")).as(Seq("i", "s")))
+      .withColumn("s", trim(col("s")))
+      .filter(length(col("s")) > 0)
+      .select(
+        col("doc_id"), col("i").as("sentence_no"),
+        length(col("s")).as("n_chars"),
+        org.apache.spark.sql.functions.size(filter(split(col("s"), " "), w => w =!= ""))
+          .cast("long").as("n_words"))
+  }
+
   /** Stemmed LT/TT keys over the document corpus — exercises the native
     * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
     * the bench path. Rows-only: Porter stemming has no SQL-expressible
@@ -300,5 +325,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, langId, qualityScore, tokenStats, fingerprint, textKeys,
-    stemmedKeys)
+    stemmedKeys, sentenceSplit)
 }
