@@ -1,0 +1,51 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic recall checks: planted duplicates must actually be found.
+  * (Cross-engine value equality is covered by the d1–d6 oracle queries;
+  * these assert the *retrieval* behavior.)
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 token-disjoint documents + one exact dup + one near-dup (one word
+  // changed) — distinct docs share no shingles, so the only retrievable
+  // pairs are the planted ones
+  private lazy val docs = {
+    val base = (0L until 20L).map(i =>
+      (i, (1 to 12).map(w => s"w${i}x$w").mkString(" ")))
+    (base :+
+      (100L, base(3)._2) :+                            // exact dup of doc 3
+      (101L, base(5)._2.replace("w5x7", "zulu")))      // near-dup of doc 5
+      .toDF("doc_id", "text")
+  }
+
+  "exact" should "collapse the exact duplicate onto its canonical id" in {
+    val row = Dedup.exact(docs).filter(col("n_dups") > 1)
+      .select("canonical_id", "n_dups").as[(Long, Long)].collect().toSeq
+    row shouldBe Seq((3L, 2L))
+  }
+
+  "jaccardPairs" should "find the planted near-dup and nothing else" in {
+    val pairs = Dedup.jaccardPairs(docs, minJaccard = 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    pairs should contain((5L, 101L))
+    pairs should contain((3L, 100L)) // exact dup is jaccard 1.0
+    pairs.size shouldBe 2
+  }
+
+  "minhash LSH" should "surface the exact duplicate as a full-match candidate" in {
+    val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(docs))
+      .filter(col("est_sim") === 1.0)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    cand should contain((3L, 100L))
+  }
+
+  "simhashPairs" should "find the near-dup within the Hamming budget" in {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs))
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    pairs should contain((3L, 100L)) // identical text → Hamming 0
+  }
+}
