@@ -12,4 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
   def decSum(c: Column): Column = sum(c.cast("decimal(30,10)")).cast("double")
+
+  /** Exact sum for money-like columns (≤4 decimal digits). Scale 4 keeps
+    * the unscaled total under 2^53 at these magnitudes, so the final
+    * decimal→double conversion is a single correctly-rounded IEEE divide
+    * in every engine; at scale 10 the unscaled value overflows the double
+    * mantissa and DuckDB's divide-by-10^10 double-rounds 1 ulp away from
+    * Spark's BigDecimal conversion.
+    */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(30,4)")).cast("double")
 }

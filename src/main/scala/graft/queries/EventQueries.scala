@@ -177,6 +177,77 @@ object EventQueries {
         size(map_keys(col("m"))).cast("long").as("n_types"))
   }
 
+  /** As-of join — for each purchase, the most recent click by the same
+    * user at or before the purchase time. Spark has no ASOF operator; a
+    * naive inequality join degenerates to a per-user cross product. This
+    * is the scalable composition: tag both sides, union, and take a
+    * running `last(click_ts) ignore nulls` over (user, time) — ONE shuffle
+    * on user_id, linear work, no range blowup at any scale. Clicks sort
+    * before purchases at equal timestamps (side 0 < 1), giving the
+    * inclusive `>=` ASOF semantics; equal-timestamp click ties carry the
+    * same tu so the output is deterministic.
+    */
+  val asofJoin: Q = Q(
+    "e9_asof_join",
+    """SELECT p.event_id, p.user_id, c.tu AS click_tu, p.tu - c.tu AS gap_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
+      |      WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.tu >= c.tu""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), tsMicros.as("tu"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tu"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("long").as("ctu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tu"), lit(null).cast("long").as("event_id"),
+        lit(0).as("side"), col("tu").as("ctu"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("click_tu", last(col("ctu"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("click_tu"),
+        (col("tu") - col("click_tu")).as("gap_us"))
+  }
+
+  /** Bounded range join — clicks within the 60 s before each error, per
+    * user. The scalable plan bucketizes time into bins of exactly the
+    * window length: each error probes its own bin and the previous one
+    * (fan-out fixed at 2), the join is pure equi on (user, bin), and a
+    * residual filter trims the bin edges. A (user, bin) hot spot stays
+    * bounded by actual 60 s traffic, versus the unbounded per-user cross
+    * product an inequality join would build.
+    */
+  val rangeJoinBucketed: Q = Q(
+    "e10_range_join_bucketed",
+    """SELECT e.event_id, e.user_id, count(c.tu) AS n_clicks
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+      |      WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
+      |      WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND c.tu >= e.tu - 60000000 AND c.tu <= e.tu
+      |GROUP BY e.event_id, e.user_id""".stripMargin) { (s, dir) =>
+    val winUs = 60L * 1000 * 1000
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), tsMicros.as("tu"), col("event_type"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("tu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tu").as("c_tu"),
+        expr(s"tu div $winUs").as("c_bin"))
+    val hits = errors
+      .withColumn("bin", explode(array(expr(s"tu div $winUs") - 1, expr(s"tu div $winUs"))))
+      .join(clicks,
+        col("user_id") === col("c_user") && col("bin") === col("c_bin"))
+      .filter(col("c_tu") >= col("tu") - winUs && col("c_tu") <= col("tu"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+    errors.select(col("event_id"), col("user_id"))
+      .join(hits, Seq("event_id"), "left")
+      .na.fill(0L, Seq("n_clicks"))
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts,
-    rollupCounts, fromJsonTyped, mapOps)
+    rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed)
 }

@@ -36,4 +36,7 @@ object Q {
     * graft.functions.Exact).
     */
   def decSum(c: Column): Column = graft.functions.Exact.decSum(c)
+
+  /** Exact sum for money-like (≤4 dp) columns; see Exact.moneySum. */
+  def moneySum(c: Column): Column = graft.functions.Exact.moneySum(c)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.queries.Q.{decSum, t}
+import graft.queries.Q.{decSum, moneySum, t}
 
 /** The relational operator inventory (SURVEY.md §2.2–§2.8) re-expressed
   * over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
@@ -21,9 +21,9 @@ object RelationalQueries {
   val pricingSummary: Q = Q(
     "a1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -32,9 +32,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        decSum(col("l_quantity")).as("sum_qty"),
-        decSum(col("l_extendedprice")).as("sum_base_price"),
-        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
@@ -61,7 +61,7 @@ object RelationalQueries {
   val groupMinMax: Q = Q(
     "a3_group_minmax",
     """SELECT l_orderkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS total_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total_qty,
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
@@ -69,7 +69,7 @@ object RelationalQueries {
       .agg(
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"),
-        decSum(col("l_quantity")).as("total_qty"),
+        moneySum(col("l_quantity")).as("total_qty"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -255,7 +255,7 @@ object RelationalQueries {
   val broadcastJoin: Q = Q(
     "j1_broadcast_join",
     """SELECT p_brand,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin) { (s, dir) =>
@@ -263,7 +263,7 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
