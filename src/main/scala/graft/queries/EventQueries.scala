@@ -52,7 +52,7 @@ object EventQueries {
       |  FROM events),
       |numbered AS (
       |  SELECT user_id, tu,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS session_id
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  max(tu) - min(tu) AS duration_us
@@ -163,7 +163,7 @@ object EventQueries {
   val mapOps: Q = Q(
     "e8_map_ops",
     """SELECT user_id,
-      |  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
       |  count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
     t(s, dir, "events")

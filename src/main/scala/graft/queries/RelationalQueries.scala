@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Q.{decSum, moneySum, t}
@@ -230,20 +231,57 @@ object RelationalQueries {
         round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"))
   }
 
-  /** Statistical aggregates: stddev / correlation / covariance. */
+  /** Statistical aggregates: stddev / correlation / covariance, built from
+    * exact decimal moments (n, Σx, Σx², Σxy) on both engines. Engines
+    * disagree on float-moment accumulation order, so the builtins are not
+    * hash-comparable; the moment sums ARE exact (2-dp columns → 4-dp
+    * products, decimal-accumulated, unscaled values ≪ 2^53 so the final
+    * decimal→double cast is the same IEEE value in Spark and DuckDB), and
+    * the closing arithmetic is the identical double expression tree on
+    * both sides. Builtin stddev_samp/corr/covar_samp are cross-checked
+    * against this formula in RelationalQueriesSpec.
+    */
   val statsAggs: Q = Q(
     "a16_stats_aggs",
-    """SELECT l_returnflag,
-      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
-      |  round(covar_samp(l_discount, l_tax), 6) AS cov_dt
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    t(s, dir, "lineitem")
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sq,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sqq,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sd,
+      |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sdd,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sqd,
+      |    CAST(sum(CAST(l_tax AS DECIMAL(15,2))) AS DOUBLE) AS st,
+      |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(15,2)) * CAST(l_tax AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sdt
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS sd_qty,
+      |  round((sqd - sq * sd / n) / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)), 4) AS corr_qd,
+      |  round((sdt - sd * st / n) / (n - 1), 6) AS cov_dt
+      |FROM m""".stripMargin) { (s, dir) =>
+    def d2(c: Column): Column = c.cast("decimal(15,2)")
+    def prodSum(a: Column, b: Column): Column =
+      sum((d2(a) * d2(b)).cast("decimal(30,4)")).cast("double")
+    val m = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+        count(lit(1)).cast("double").as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("sq"),
+        prodSum(col("l_quantity"), col("l_quantity")).as("sqq"),
+        sum(d2(col("l_discount"))).cast("double").as("sd"),
+        prodSum(col("l_discount"), col("l_discount")).as("sdd"),
+        prodSum(col("l_quantity"), col("l_discount")).as("sqd"),
+        sum(d2(col("l_tax"))).cast("double").as("st"),
+        prodSum(col("l_discount"), col("l_tax")).as("sdt"))
+    m.select(
+      col("l_returnflag"),
+      round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 4)
+        .as("sd_qty"),
+      round(
+        (col("sqd") - col("sq") * col("sd") / col("n")) /
+          sqrt((col("sqq") - col("sq") * col("sq") / col("n")) *
+            (col("sdd") - col("sd") * col("sd") / col("n"))), 4).as("corr_qd"),
+      round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - 1), 6).as("cov_dt"))
   }
 
   // --------------------------------------------------------------- J: joins
