@@ -44,8 +44,11 @@ object Dedup {
     (1 to numPerms).map(h =>
       min(concat(substring(col("m"), h + 1, 32 - h), substring(col("m"), 1, h))).as(s"sig$h"))
 
-  /** (doc_id, sig1..sigP) MinHash signature table. */
-  def minhashSignatures(docs: DataFrame, numPerms: Int = 4): DataFrame = {
+  /** (doc_id, sig1..sigP) MinHash signature table. 8 permutations by
+    * default: 4 bands of 2 under LSH, enough resolution to separate
+    * est_sim levels {0, 1/8 … 1} for real dedup thresholds.
+    */
+  def minhashSignatures(docs: DataFrame, numPerms: Int = 8): DataFrame = {
     val sigs = minhashSigs(numPerms)
     shingles(docs)
       .select(col("doc_id"), md5(col("shingle")).as("m"))
@@ -57,7 +60,7 @@ object Dedup {
     * bucket are compared, estimated similarity = matching-signature
     * fraction. The join shuffles on the band hash — never all pairs.
     */
-  def minhashCandidates(signatures: DataFrame, numPerms: Int = 4, bandSize: Int = 2): DataFrame = {
+  def minhashCandidates(signatures: DataFrame, numPerms: Int = 8, bandSize: Int = 2): DataFrame = {
     require(numPerms % bandSize == 0, "numPerms must divide into bands")
     val bands = (1 to numPerms).grouped(bandSize).toSeq
       .map(g => md5(concat(g.map(h => col(s"sig$h")): _*)))
@@ -75,18 +78,25 @@ object Dedup {
 
   /** SimHash over word hashes: `bits`-wide signature where bit b is the
     * sign of the per-word vote sum — near-dups differ in few bits. One
-    * fully map-side-combinable aggregation.
+    * fully map-side-combinable aggregation. 64-bit by default: with
+    * 16-bit LSH bands the bucket space is 4 × 65536 and keeps growing
+    * with real band-value entropy, versus the 64 total buckets a 16-bit
+    * signature allows (which degenerates the candidate join to ~N²/64 on
+    * a large corpus).
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      bits: Int = 16): DataFrame = {
-    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
-    // hash each word ONCE in a projection — the 16 bit-votes then read
-    // nibbles of the same value instead of re-hashing per bit
+      bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
+    // hash each word ONCE in a projection — the bit-votes then read
+    // nibbles of the same md5 value instead of re-hashing per bit
     def nibble(k: Int): Column = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
     def vote(b: Int): Column =
       sum(when(floor(nibble(b / 4) / math.pow(2, b % 4).toInt) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
     val votes = (0 until bits).map(vote)
-    val sig = (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    // bitwiseOR, not +: bit 63's value is Long.MinValue and ANSI-mode
+    // addition would overflow-check; OR of disjoint bits is exact
+    val sig = (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
     docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("h"))
       .groupBy(col("doc_id"))
@@ -99,16 +109,22 @@ object Dedup {
     * bands — any pair within the distance budget agrees on at least one
     * band, so candidates come from band-equality bucket joins (shuffling
     * on (band_no, band_value), never N² pairs) and the exact Hamming
-    * filter runs only on candidates.
+    * filter runs only on candidates. At 64 bits / 4 bands each band
+    * carries 16 bits, so the bucket key space is 4 × 2^16 per-band values
+    * and in-bucket pair counts stay proportional to true near-dup density
+    * rather than N²/constant.
     */
-  def simhashPairs(sigs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(sigs: DataFrame, bits: Int = 64, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
+    // (sig >> k) & mask is shift-kind-agnostic (only low bandBits bits
+    // survive the mask), so Spark's arithmetic shiftright matches the
+    // oracle's >> on negative signatures too
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map { b =>
-        shiftright(col("simhash"), b * bandBits) % (1L << bandBits)
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
       }: _*)).as(Seq("band_no", "band_val")))
     val hamming = bit_count(expr("a.simhash ^ b.simhash"))
     banded.alias("a")
@@ -122,12 +138,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
+  /** n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
     * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
-    * Shuffles on the shingle key (bounded frequency), never N² pairs.
+    * Shuffles on the shingle key, never N² pairs.
+    *
+    * `maxShingleDf` caps the document frequency of shingles admitted to
+    * the index — the standard scale guard: a shingle appearing in k
+    * documents contributes k² candidate rows to the self-join, so corpus
+    * stop-phrases ("of the …") make the uncapped index quadratic on any
+    * real corpus. Jaccard is computed consistently over the capped
+    * shingle universe (sizes AND intersections), so it equals the true
+    * n-gram Jaccard whenever no shared shingle is corpus-hot, and only
+    * loses pairs whose sole similarity evidence is stop-phrases.
     */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).distinct()
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val all = shingles(docs).distinct()
+    val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"))
+    val sh = all.join(rare, "shingle")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")

@@ -40,8 +40,10 @@ object TextQueries {
   private val hashedShinglesSql =
     s"SELECT doc_id, md5(shingle) AS m FROM (${shinglesSql.replace("__CORPUS__", "corpus")})"
 
+  private val numPerms = 8
+
   private def sigSelectSql: String =
-    (1 to 4).map(h => s"min(substr(m, ${h + 1}) || substr(m, 1, $h)) AS sig$h").mkString(", ")
+    (1 to numPerms).map(h => s"min(substr(m, ${h + 1}) || substr(m, 1, $h)) AS sig$h").mkString(", ")
 
   // ------------------------------------------------------------ exact dedup
 
@@ -58,8 +60,8 @@ object TextQueries {
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures (Dedup.minhashSignatures: one md5 per shingle,
-    * four hex-rotation permutations). Shuffle key is doc_id with map-side
-    * partial min.
+    * eight hex-rotation permutations). Shuffle key is doc_id with
+    * map-side partial min.
     */
   val minhashSignature: Q = Q(
     "d2_minhash_signature",
@@ -69,115 +71,122 @@ object TextQueries {
     Dedup.minhashSignatures(t(s, dir, "documents").select(col("doc_id"), col("text")))
   }
 
-  /** MinHash LSH candidate pairs (Dedup.minhashCandidates): signatures
-    * banded 2×2; docs sharing a band bucket become candidates; estimated
+  /** MinHash LSH candidate pairs (Dedup.minhashCandidates): 8 signatures
+    * banded 4×2; docs sharing a band bucket become candidates; estimated
     * similarity = matching-signature fraction. Shuffles on the band hash,
     * never comparing all N² pairs.
     */
-  val minhashLshPairs: Q = Q(
-    "d3_minhash_lsh_pairs",
-    s"""WITH corpus AS ($corpusSql),
-       |sigs AS (
-       |  SELECT doc_id, $sigSelectSql
-       |  FROM ($hashedShinglesSql)
-       |  GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, sig1, sig2, sig3, sig4, unnest([md5(sig1 || sig2), md5(sig3 || sig4)]) AS band
-       |  FROM sigs)
-       |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-       |  round((CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END +
-       |         CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END +
-       |         CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END +
-       |         CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) / 4.0, 6) AS est_sim
-       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
-    Dedup.minhashCandidates(Dedup.minhashSignatures(corpus(s, dir)))
-      .select(col("doc1"), col("doc2"), round(col("est_sim"), 6).as("est_sim"))
+  val minhashLshPairs: Q = {
+    val bandsSql = (1 to numPerms).grouped(2)
+      .map(g => s"md5(${g.map(h => s"sig$h").mkString(" || ")})").mkString(", ")
+    val matchesSql = (1 to numPerms)
+      .map(h => s"CASE WHEN a.sig$h = b.sig$h THEN 1 ELSE 0 END").mkString(" +\n       |         ")
+    Q(
+      "d3_minhash_lsh_pairs",
+      s"""WITH corpus AS ($corpusSql),
+         |sigs AS (
+         |  SELECT doc_id, $sigSelectSql
+         |  FROM ($hashedShinglesSql)
+         |  GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, ${(1 to numPerms).map(h => s"sig$h").mkString(", ")},
+         |    unnest([$bandsSql]) AS band
+         |  FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(($matchesSql) / $numPerms.0, 6) AS est_sim
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashCandidates(Dedup.minhashSignatures(corpus(s, dir)))
+        .select(col("doc1"), col("doc2"), round(col("est_sim"), 6).as("est_sim"))
+    }
   }
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 16-bit SimHash (Dedup.simhash): each bit is the sign of the per-word
+  private def simhashNibbleSql(k: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5(word), ${k + 1}, 1)) - 1)"
+
+  private def simhashVoteSql(b: Int): String = {
+    val shifted = s"(${simhashNibbleSql(b / 4)} // ${math.pow(2, b % 4).toInt})"
+    s"sum(CASE WHEN $shifted % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+  }
+
+  /** 64-bit signature from the per-bit votes: OR of disjoint bit values
+    * (DuckDB cannot form 1<<63 by shifting — the literal Long.MinValue is
+    * spelled out and every branch CAST to BIGINT before the OR chain).
+    */
+  private val simhashBits = 0 until 64
+
+  private val simhashSigSql: String = simhashBits
+    .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" | ")
+
+  /** 64-bit SimHash (Dedup.simhash): each bit is the sign of the per-word
     * vote sum; one fully map-side-combinable aggregation.
     */
-  val simhash: Q = {
-    def nibbleSql(k: Int): String =
-      s"(strpos('0123456789abcdef', substr(md5(word), ${k + 1}, 1)) - 1)"
-    def voteSql(b: Int): String = {
-      val shifted = s"(${nibbleSql(b / 4)} // ${math.pow(2, b % 4).toInt})"
-      s"sum(CASE WHEN $shifted % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
-    }
-    val bits = 0 until 16
-    val simhashSql: String =
-      bits.map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    Q(
-      "d4_simhash",
-      s"""SELECT doc_id, CAST(${simhashSql} AS BIGINT) AS simhash FROM (
-         |  SELECT doc_id, ${bits.map(voteSql).mkString(", ")}
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-         |  GROUP BY doc_id)""".stripMargin) { (s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"))
-    }
+  val simhash: Q = Q(
+    "d4_simhash",
+    s"""SELECT doc_id, $simhashSigSql AS simhash FROM (
+       |  SELECT doc_id, ${simhashBits.map(simhashVoteSql).mkString(", ")}
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY doc_id)""".stripMargin) { (s, dir) =>
+    Dedup.simhash(t(s, dir, "documents"))
   }
 
   /** SimHash near-dup pairs (Dedup.simhashPairs): Hamming ≤ 3 via the
-    * 4-band pigeonhole — candidates from band-bucket joins, exact Hamming
-    * filter on candidates only. Runs over the near-dup-augmented corpus
-    * so results are non-trivial.
+    * 4-band pigeonhole over 16-bit bands — candidates from band-bucket
+    * joins (4 × 2^16 key space), exact Hamming filter on candidates only.
+    * Runs over the near-dup-augmented corpus so results are non-trivial.
     */
-  val simhashPairs: Q = {
-    val bits = 0 until 16
-    def nibbleSql(k: Int): String =
-      s"(strpos('0123456789abcdef', substr(md5(word), ${k + 1}, 1)) - 1)"
-    def voteSql(b: Int): String = {
-      val shifted = s"(${nibbleSql(b / 4)} // ${math.pow(2, b % 4).toInt})"
-      s"sum(CASE WHEN $shifted % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
-    }
-    val simhashSql: String =
-      bits.map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    Q(
-      "d6_simhash_pairs",
-      s"""WITH corpus AS ($corpusSql),
-         |sigs AS (
-         |  SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM (
-         |    SELECT doc_id, ${bits.map(voteSql).mkString(", ")}
-         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
-         |    GROUP BY doc_id)),
-         |banded AS (
-         |  SELECT doc_id, simhash, band_no, (simhash >> (band_no * 4)) % 16 AS band_val
-         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_no))
-         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b
-         |  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
-      graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus(s, dir)))
-        .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
-    }
+  val simhashPairs: Q = Q(
+    "d6_simhash_pairs",
+    s"""WITH corpus AS ($corpusSql),
+       |sigs AS (
+       |  SELECT doc_id, $simhashSigSql AS simhash FROM (
+       |    SELECT doc_id, ${simhashBits.map(simhashVoteSql).mkString(", ")}
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+       |    GROUP BY doc_id)),
+       |banded AS (
+       |  SELECT doc_id, simhash, band_no, (simhash >> (band_no * 16)) & 65535 AS band_val
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_no))
+       |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+    graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus(s, dir)))
+      .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
   }
 
   // --------------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard near-dup pairs (Dedup.jaccardPairs): shingle
-    * inverted index, |A∩B| from a shingle self-join, |A∪B| from per-doc
-    * set sizes.
+  /** n-gram Jaccard near-dup pairs (Dedup.jaccardPairs): shingle inverted
+    * index with a document-frequency cap (corpus-hot shingles are dropped
+    * before the self-join — the k²-per-shingle scale guard), |A∩B| from
+    * the capped self-join, |A∪B| from per-doc capped set sizes.
     */
-  val ngramJaccardPairs: Q = Q(
-    "d5_ngram_jaccard_pairs",
-    s"""WITH corpus AS ($corpusSql),
-       |sh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT doc1, doc2,
-       |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc1 = sa.doc_id
-       |JOIN sizes sb ON doc2 = sb.doc_id
-       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5""".stripMargin) { (s, dir) =>
-    Dedup.jaccardPairs(corpus(s, dir), minJaccard = 0.5)
-      .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+  val ngramJaccardPairs: Q = {
+    val maxDf = 50
+    Q(
+      "d5_ngram_jaccard_pairs",
+      s"""WITH corpus AS ($corpusSql),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2,
+         |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc1 = sa.doc_id
+         |JOIN sizes sb ON doc2 = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(corpus(s, dir), minJaccard = 0.5, maxShingleDf = maxDf)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   // ------------------------------------------------------------ text stats

@@ -48,4 +48,23 @@ class DedupSpec extends SparkSpec {
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
     pairs should contain((3L, 100L)) // identical text → Hamming 0
   }
+
+  "simhash banding" should "spread a growing corpus over a growing bucket space" in {
+    // the 64-bit / 16-bit-band scheme must not collapse to a constant
+    // bucket count (the old 16-bit signature capped at 4 bands × 16
+    // values = 64 buckets, which degenerates candidate joins to ~N²/64)
+    def buckets(n: Long): Long = {
+      val corpus = (0L until n).map(i =>
+        (i, (1 to 12).map(w => s"c${i}q$w").mkString(" "))).toDF("doc_id", "text")
+      Dedup.simhash(corpus)
+        .select(posexplode(array((0 until 4).map { b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))
+        }: _*)).as(Seq("band_no", "band_val")))
+        .distinct().count()
+    }
+    val b100 = buckets(100)
+    val b400 = buckets(400)
+    b100 should be > 64L
+    b400 should be > (2 * b100)
+  }
 }
