@@ -35,30 +35,66 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-projection code over the first `bits` dimensions — axis
-    * hyperplanes; deterministic, so cross-engine reproducible. Same
-    * recall/cost shape as random-hyperplane SimHash ANN.
+  /** Deterministic sparse hyperplane coefficient for (table, bit, dim):
+    * 0 for ~3 of 4 dims (sparse random projection à la Achlioptas — only
+    * the sign of the dot product matters, so the scale constant is
+    * dropped), else ±1. A pure integer mix, so the Spark plan and the SQL
+    * oracle bake in identical hyperplanes.
     */
-  def signBucket(embedding: Column, bits: Int = 8): Column =
-    (1 to bits)
-      .map(d => when(element_at(embedding, d) > 0f, lit(1 << (d - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
-      .cast("int")
+  def coeff(table: Int, bit: Int, dim: Int): Int = {
+    var x = table * 0x9E3779B9 + bit * 0x85EBCA6B + dim * 0xC2B2AE35
+    x ^= x >>> 16; x *= 0x45D9F3B; x ^= x >>> 13; x *= 0x45D9F3B; x ^= x >>> 16
+    if ((x & 3) != 0) 0 else if (((x >>> 2) & 1) == 0) 1 else -1
+  }
 
-  /** Candidate pairs within sign-projection buckets, similarity filtered.
-    * The join shuffles on the bucket code (2^bits cells).
+  /** The non-zero (dim, sign) terms of hyperplane (table, bit); never
+    * empty (an all-zero hyperplane would waste the bit).
     */
-  def lshPairs(embeddings: DataFrame, bits: Int = 8, minSim: Double = 0.2): DataFrame = {
-    val coded = embeddings.select(
-      col("vec_id"), toD(col("embedding")).as("e"),
-      signBucket(col("embedding"), bits).as("bucket"))
+  def hyperplaneTerms(table: Int, bit: Int, dim: Int): Seq[(Int, Int)] = {
+    val terms = (0 until dim).flatMap { d =>
+      val c = coeff(table, bit, d)
+      if (c == 0) None else Some((d, c))
+    }
+    if (terms.nonEmpty) terms else Seq(((table + bit) % dim, 1))
+  }
+
+  /** `bits`-wide random-hyperplane sign code for one LSH table: bit b is
+    * the sign of the sparse ±1 dot product with hyperplane (table, b).
+    * The dot is a left-fold of additions/subtractions in term order, so
+    * an oracle spelling the same chain reproduces it bit-for-bit.
+    * `embedding` must already be an array<double>. Implemented as a
+    * native expression (HyperplaneCodeExpression) — the equivalent
+    * composed fold generates bits × terms inline code and trips Janino's
+    * method limits.
+    */
+  def hyperplaneCode(embedding: Column, dim: Int, bits: Int, table: Int): Column =
+    HyperplaneCodeExpression(embedding, dim, bits, table)
+
+  /** Candidate pairs from `tables` independent LSH tables of 2^bits
+    * buckets each, similarity filtered. The join shuffles on
+    * (table_no, bucket) — with 16-bit codes the per-table bucket space is
+    * 65536 and grows with the `bits` parameter, so in-bucket pair counts
+    * track true neighbor density instead of N²/constant (the failure mode
+    * of a fixed 8-bit code); independent tables recover the recall a
+    * single long code gives up. A pair colliding in several tables is
+    * deduplicated after the similarity filter — no extra shuffle to
+    * re-attach vectors.
+    */
+  def lshPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 16, tables: Int = 4,
+      minSim: Double = 0.2): DataFrame = {
+    val coded = embeddings
+      .select(col("vec_id"), toD(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e"),
+        posexplode(array((0 until tables).map(t => hyperplaneCode(col("e"), dim, bits, t)): _*))
+          .as(Seq("table_no", "bucket")))
     val sim = VectorOps.cosine(col("a.e"), col("b.e"))
     coded.alias("a")
       .join(coded.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .filter(sim >= minSim)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.bucket").as("bucket"), sim.as("sim"))
+        col("a.table_no") === col("b.table_no") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), sim.as("sim"))
+      .filter(col("sim") >= minSim)
+      .distinct()
   }
 
   /** Per-cell centroids as (cell, dim, centroid) — exact decimal means so

@@ -38,28 +38,40 @@ object VectorQueries {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** LSH-bucketed ANN pairs (Ann.lshPairs) — the candidate-generation
-    * scale path: 8-bit sign-projection code, pairs only inside a bucket.
+  /** Multi-table random-hyperplane LSH ANN pairs (Ann.lshPairs) — the
+    * candidate-generation scale path: two independent tables of 16-bit
+    * sparse-hyperplane sign codes (bucket space 2 × 2^16, growing with the
+    * bits parameter), pairs only inside a (table, bucket) cell. The oracle
+    * spells out the identical hyperplane fold chains, generated from the
+    * same Ann.hyperplaneTerms.
     */
-  val lshAnnPairs: Q = Q(
-    "v2_lsh_ann_pairs",
-    """WITH coded AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-      |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-      |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
-      |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
-      |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
-      |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
-      |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
-      |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-      |  FROM embeddings)
-      |SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
-      |  round(list_cosine_similarity(a.e, b.e), 6) AS sim
-      |FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.e, b.e) >= 0.2""".stripMargin) { (s, dir) =>
-    Ann.lshPairs(emb(s, dir), bits = 8, minSim = 0.2)
-      .select(col("id1"), col("id2"), col("bucket"), round(col("sim"), 6).as("sim"))
+  val lshAnnPairs: Q = {
+    val dim = 64; val bits = 16; val tables = 2
+    def dotSql(tbl: Int, b: Int): String =
+      "0.0" + Ann.hyperplaneTerms(tbl, b, dim).map { case (d, c) =>
+        (if (c > 0) " + " else " - ") + s"e[${d + 1}]"
+      }.mkString
+    def codeSql(tbl: Int): String =
+      (0 until bits)
+        .map(b => s"(CASE WHEN (${dotSql(tbl, b)}) > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+    Q(
+      "v2_lsh_ann_pairs",
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, e,
+         |    unnest([${(0 until tables).mkString(", ")}]) AS table_no,
+         |    unnest([${(0 until tables).map(tbl => s"(${codeSql(tbl)})").mkString(", ")}]) AS bucket
+         |  FROM raw)
+         |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |FROM coded a JOIN coded b
+         |  ON a.table_no = b.table_no AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.e, b.e) >= 0.2""".stripMargin) { (s, dir) =>
+      Ann.lshPairs(emb(s, dir), dim = dim, bits = bits, tables = tables, minSim = 0.2)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+        .distinct()
+    }
   }
 
   /** Per-label centroids (Ann.centroidComponents — the IVF

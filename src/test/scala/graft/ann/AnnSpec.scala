@@ -39,13 +39,37 @@ class AnnSpec extends SparkSpec {
     comparable.filter(col("ivf_top") =!= col("true_top")).count() shouldBe 0
   }
 
-  "lshPairs" should "only pair vectors from the same bucket and respect the floor" in {
-    val pairs = Ann.lshPairs(emb, bits = 8, minSim = 0.2).cache()
+  "lshPairs" should "only pair vectors sharing a table bucket and respect the floor" in {
+    val pairs = Ann.lshPairs(emb, dim = 64, bits = 16, tables = 2, minSim = 0.2).cache()
     pairs.filter(col("sim") < 0.2).count() shouldBe 0
-    val coded = emb.select(col("vec_id"), Ann.signBucket(col("embedding"), 8).as("b"))
+    // every emitted pair collides in at least one of the two tables
+    val codes = emb.select(
+      col("vec_id") +: (0 until 2).map(t =>
+        Ann.hyperplaneCode(graft.functions.VectorOps.toDoubleArray(col("embedding")), 64, 16, t)
+          .as(s"c$t")): _*)
     val check = pairs
-      .join(coded.select(col("vec_id").as("id1"), col("b").as("b1")), "id1")
-      .join(coded.select(col("vec_id").as("id2"), col("b").as("b2")), "id2")
-    check.filter(col("b1") =!= col("b2")).count() shouldBe 0
+      .join(codes.select(col("vec_id").as("id1"), col("c0").as("a0"), col("c1").as("a1")), "id1")
+      .join(codes.select(col("vec_id").as("id2"), col("c0").as("b0"), col("c1").as("b1")), "id2")
+    check.filter(col("a0") =!= col("b0") && col("a1") =!= col("b1")).count() shouldBe 0
+  }
+
+  it should "always recall an exact duplicate, in a bucket space that grows with bits" in {
+    // identical vectors get identical codes in every table -> guaranteed pair
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val planted = emb.select(col("vec_id"), col("embedding"), col("label")).unionByName(dup)
+    val pairs = Ann.lshPairs(planted, dim = 64, bits = 16, tables = 2, minSim = 0.2)
+    pairs.filter(col("id1") === 0 && col("id2") === 99999L).count() shouldBe 1L
+
+    // the parameterized bucket space is the scale knob: more bits -> more
+    // occupied buckets (the old fixed 8-bit code capped at 256 total)
+    def occupied(bits: Int): Long = emb
+      .select(Ann.hyperplaneCode(
+        graft.functions.VectorOps.toDoubleArray(col("embedding")), 64, bits, 0).as("b"))
+      .distinct().count()
+    val b6 = occupied(6)
+    val b16 = occupied(16)
+    b6 should be <= 64L
+    b16 should be > (3 * b6)
   }
 }
