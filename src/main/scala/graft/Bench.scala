@@ -25,16 +25,25 @@ object Bench {
     // JVM/session warm-up outside any query's timing: codegen compiler,
     // shuffle subsystem, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // a failed query records the sentinel -1 plus its error, never a
+    // normal-looking elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
