@@ -29,7 +29,20 @@ object Io {
       path: String,
       options: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil,
-      mode: String = "error")
+      mode: String = "error",
+      /** Cap rows per output file (Spark's maxRecordsPerFile): bounds the
+        * large end of file sizes without an extra shuffle.
+        */
+      maxRecordsPerFile: Long = 0L,
+      /** Target output file count via a pre-write repartition — the
+        * small-file control: a 1000-task stage otherwise writes ≥1000
+        * files per dataset (× partition values when partitionBy is set),
+        * and at 100 TB the downstream listing/open cost of millions of
+        * tiny files is the first operational complaint. Repartitions on
+        * the partitionBy columns when present so each partition directory
+        * gets coherent files, else round-robin.
+        */
+      targetFiles: Int = 0)
 
   def read(spark: SparkSession, spec: ReadSpec): DataFrame = {
     val reader = spark.read.format(spec.format).options(spec.options)
@@ -42,7 +55,17 @@ object Io {
     specs.map { case (k, s) => k -> read(spark, s) }
 
   def write(df: DataFrame, spec: WriteSpec): Unit = {
-    val w = df.write.mode(spec.mode).options(spec.options)
+    val sized =
+      if (spec.targetFiles <= 0) df
+      else if (spec.partitionBy.nonEmpty)
+        df.repartition(spec.targetFiles,
+          spec.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(spec.targetFiles)
+    val opts = spec.options ++
+      (if (spec.maxRecordsPerFile > 0)
+        Map("maxRecordsPerFile" -> spec.maxRecordsPerFile.toString)
+      else Map.empty)
+    val w = sized.write.mode(spec.mode).options(opts)
     val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
     p.format(spec.format).save(spec.path)
   }

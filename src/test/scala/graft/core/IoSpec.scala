@@ -25,6 +25,22 @@ class IoSpec extends SparkSpec {
     pruned.queryExecution.executedPlan.toString() should include("PartitionFilters: [isnotnull(k")
   }
 
+  it should "control output file count and rows-per-file" in {
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+
+    // many input partitions, targetFiles=2 -> exactly 2 data files
+    val coalesced = tmp() + "/coalesced"
+    val df = spark.range(0, 1000, 1, 16).select(col("id"), (col("id") % 4).as("k"))
+    Io.write(df, Io.WriteSpec("parquet", coalesced, targetFiles = 2))
+    parquetFiles(coalesced).size shouldBe 2
+
+    // maxRecordsPerFile caps the large end: 1000 rows / <=300 per file -> >=4 files
+    val capped = tmp() + "/capped"
+    Io.write(df.repartition(1), Io.WriteSpec("parquet", capped, maxRecordsPerFile = 300L))
+    parquetFiles(capped).size should be >= 4
+  }
+
   it should "read gzip CSV with an explicit schema (no inference pass)" in {
     val dir = tmp()
     val csv = new java.io.File(dir, "ids.csv.gz")
