@@ -138,6 +138,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster resolution: assign every document appearing in a
+    * candidate near-dup pair the minimum doc_id of its connected
+    * component — the step that turns pairwise evidence into canonical
+    * groups for corpus dedup.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(diameter) rounds and real dup clusters have tiny diameters. The
+    * per-round work is one shuffle on doc_id at candidate-set scale
+    * (pairs, not corpus); the driver only ever sees a changed-row count,
+    * and lineage is cut per round so the plan stays flat at any scale.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
     * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
     * Shuffles on the shingle key, never N² pairs.

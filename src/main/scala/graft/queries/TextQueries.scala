@@ -189,6 +189,40 @@ object TextQueries {
     }
   }
 
+  /** Duplicate-cluster resolution (Dedup.clusters): n-gram-Jaccard
+    * candidate pairs resolved to canonical components by min-label
+    * propagation; the oracle computes the same components with a
+    * recursive reachability closure.
+    */
+  val dedupClusters: Q = {
+    val maxDf = 50
+    Q(
+      "d7_dedup_clusters",
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sizes sa ON doc1 = sa.doc_id
+         |  JOIN sizes sb ON doc2 = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.r FROM reach r JOIN edges e ON r.doc_id = e.s)
+         |SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.clusters(Dedup.jaccardPairs(corpus(s, dir), minJaccard = 0.5, maxShingleDf = maxDf))
+    }
+  }
+
   // ------------------------------------------------------------ text stats
 
   private def stopCountSql(stop: Seq[String]): String =
@@ -333,6 +367,6 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    ngramJaccardPairs, langId, qualityScore, tokenStats, fingerprint, textKeys,
-    stemmedKeys, sentenceSplit)
+    ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
+    textKeys, stemmedKeys, sentenceSplit)
 }

@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     pairs should contain((3L, 100L)) // identical text → Hamming 0
   }
 
+  "clusters" should "resolve chains, triangles and islands to component minima" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 20L))
+      .toDF("doc1", "doc2")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  it should "collapse the planted near-dups end to end" in {
+    val got = Dedup.clusters(Dedup.jaccardPairs(docs, minJaccard = 0.5))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(3L -> 3L, 100L -> 3L, 5L -> 5L, 101L -> 5L)
+  }
+
   "simhash banding" should "spread a growing corpus over a growing bucket space" in {
     // the 64-bit / 16-bit-band scheme must not collapse to a constant
     // bucket count (the old 16-bit signature capped at 4 bands × 16
