@@ -114,6 +114,46 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("ce"))
 
+  /** Deterministic k-means cell assignment — the coarse quantizer that
+    * makes IVF self-contained (ivfSearch's cell column no longer has to
+    * be caller-supplied; C scales with the corpus by choosing k). Lloyd
+    * iterations with engine-reproducible steps: seeds are the k smallest
+    * vec_ids' vectors, assignment is cosine argmax with a (sim desc,
+    * cell) tie-break, centroid updates are exact decimal means — so a
+    * SQL oracle replays the identical arithmetic. Each round is one
+    * broadcast of k centroid vectors (KBs–MBs) against a no-shuffle
+    * corpus scan plus one (cell, dim) map-side-combinable aggregation;
+    * `iters` is fixed (no driver-side convergence loop).
+    */
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), toD(col("embedding")).as("e"))
+    val seedW = Window.orderBy(col("vec_id"))
+    var cents = vecs.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("int").as("cell"), col("e").as("ce"))
+    var assigned = assignCells(vecs, cents)
+    (1 to iters).foreach { _ =>
+      val comps = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("dim0", "v")))
+        .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+        .agg((decSum(col("v")) / count(lit(1))).as("centroid"))
+      cents = comps.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid")).as("ce"))
+      assigned = assignCells(vecs, cents)
+    }
+    assigned.select(col("vec_id"), col("cell"))
+  }
+
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cell"),
+        VectorOps.cosine(col("e"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+  }
+
   /** IVF search: route each query to its nearest centroid cell (nprobe=1),
     * then exact top-k within that cell only. The fine search shuffles on
     * the cell key; with C cells it scans ~1/C of the corpus per query.

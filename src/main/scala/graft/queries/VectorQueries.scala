@@ -74,6 +74,36 @@ object VectorQueries {
     }
   }
 
+  /** Deterministic k-means cells (Ann.kmeansCells, k=8, one Lloyd
+    * iteration): the self-contained IVF coarse quantizer. The oracle
+    * replays seeds → cosine-argmax assignment → exact-decimal centroid
+    * update → final assignment with identical arithmetic.
+    */
+  val kmeansCells: Q = {
+    val k = 8
+    def argmaxSql(centsRel: String): String =
+      s"""SELECT vec_id, e, cell FROM (
+         |    SELECT r.vec_id, r.e, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY list_cosine_similarity(r.e, c.ce) DESC, c.cell) AS rn
+         |    FROM raw r CROSS JOIN $centsRel c) WHERE rn = 1""".stripMargin
+    Q(
+      "v6_kmeans_cells",
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS ce
+         |  FROM (SELECT vec_id, e FROM raw ORDER BY vec_id LIMIT $k)),
+         |assign1 AS (${argmaxSql("seeds")}),
+         |comps AS (
+         |  SELECT cell, dim, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT cell, generate_subscripts(e, 1) AS dim, unnest(e) AS v FROM assign1)
+         |  GROUP BY cell, dim),
+         |cents AS (SELECT cell, list(centroid ORDER BY dim) AS ce FROM comps GROUP BY cell)
+         |SELECT vec_id, cell FROM (${argmaxSql("cents")})""".stripMargin) { (s, dir) =>
+      Ann.kmeansCells(emb(s, dir), k = k, iters = 1)
+    }
+  }
+
   /** Per-label centroids (Ann.centroidComponents — the IVF
     * coarse-quantizer training shape): exact decimal means over
     * posexploded components.
@@ -139,5 +169,6 @@ object VectorQueries {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch)
+  val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
+    kmeansCells)
 }

@@ -39,6 +39,22 @@ class AnnSpec extends SparkSpec {
     comparable.filter(col("ivf_top") =!= col("true_top")).count() shouldBe 0
   }
 
+  "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
+    val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
+    cells.count() shouldBe emb.count()
+    cells.select("cell").distinct().count() should be > 1L
+    cells.filter(col("cell") < 0 || col("cell") >= 8).count() shouldBe 0
+    // self-contained IVF: kmeans cells replace the caller-supplied label
+    val celled = emb.join(cells, "vec_id")
+    val hits = Ann.ivfSearch(celled, "cell", emb.filter(col("vec_id") < 5), k = 3)
+    hits.groupBy("query_id").count().as[(Long, Long)].collect().foreach(_._2 shouldBe 3L)
+    // nprobe=1 routes each query to exactly its own cell: a query vector
+    // that is IN the corpus must be routed to the cell it was assigned
+    val routed = hits.select(col("query_id"), col("cell")).distinct()
+      .join(cells.select(col("vec_id").as("query_id"), col("cell").as("own")), "query_id")
+    routed.filter(col("cell") =!= col("own")).count() shouldBe 0
+  }
+
   "lshPairs" should "only pair vectors sharing a table bucket and respect the floor" in {
     val pairs = Ann.lshPairs(emb, dim = 64, bits = 16, tables = 2, minSim = 0.2).cache()
     pairs.filter(col("sim") < 0.2).count() shouldBe 0
