@@ -100,4 +100,26 @@ object EventStreams {
     */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  /** Stream-stream interval join — the streaming twin of the batch
+    * bounded range join (EventQueries.rangeJoinBucketed, q:e10): each
+    * error joins the same user's clicks from the preceding 60 seconds.
+    * Both inputs carry watermarks and the predicate bounds click time
+    * relative to error time on BOTH ends, so Spark evicts buffered join
+    * state as the watermark advances — state tracks the 60 s + watermark
+    * horizon, not stream history, at any arrival rate.
+    */
+  def errorClickJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    e.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 60 SECONDS") &&
+        col("click_ts") <= col("error_ts"))
+      .select(col("error_id"), col("user_id"), col("error_ts"), col("click_ts"))
+  }
 }

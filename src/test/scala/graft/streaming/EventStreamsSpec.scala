@@ -82,4 +82,26 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     rows should contain((7L, 2L, 3.0))
   }
+
+  "errorClickJoin" should "join each error to same-user clicks in the prior 60s only" in {
+    implicit val sqlCtx = spark.sqlContext
+    def s(seconds: Long): Timestamp = new Timestamp(86400000L + seconds * 1000L)
+    val errIn = MemoryStream[Event]
+    val clickIn = MemoryStream[Event]
+    val q = EventStreams.errorClickJoin(errIn.toDF(), clickIn.toDF())
+      .writeStream.format("memory").queryName("joined").outputMode("append").start()
+
+    clickIn.addData(Seq(
+      Event(10, s(0), 1, "click", 1.0),    // 100s before the error: outside
+      Event(11, s(70), 1, "click", 1.0),   // 30s before: inside
+      Event(12, s(100), 1, "click", 1.0),  // exactly at the error: inside
+      Event(13, s(95), 2, "click", 1.0)))  // other user: excluded
+    errIn.addData(Seq(Event(1, s(100), 1, "error", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("joined")
+      .select(col("error_id"), col("click_ts")).as[(Long, Timestamp)].collect().toSet
+    rows shouldBe Set((1L, s(70)), (1L, s(100)))
+  }
 }
