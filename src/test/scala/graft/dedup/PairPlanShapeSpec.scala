@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** Plan-shape locks for the candidate-pair generators: the scale claim of
+  * every dedup/ANN operator is "bucketed equi-join, never a cartesian" —
+  * a regression that re-plans one of these self-joins as
+  * CartesianProduct/BroadcastNestedLoopJoin is exactly the failure that
+  * only shows up at corpus scale, so it must fail here first.
+  */
+class PairPlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private lazy val docs = (0L until 50L)
+    .map(i => (i, (1 to 12).map(w => s"p${i}w$w").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  "simhashPairs" should "join on band equality, not a cartesian" in {
+    val p = plan(Dedup.simhashPairs(Dedup.simhash(docs)))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "jaccardPairs" should "join on the shingle key, not a cartesian" in {
+    val p = plan(Dedup.jaccardPairs(docs))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "minhashCandidates" should "join on the band hash, not a cartesian" in {
+    val p = plan(Dedup.minhashCandidates(Dedup.minhashSignatures(docs)))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "Ann.lshPairs" should "join on (table, bucket), not a cartesian" in {
+    val p = plan(Ann.lshPairs(emb))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+}
