@@ -191,11 +191,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
-    val all = shingles(docs).distinct()
-    val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // df via a whole-partition window, not groupBy+join-back: one shuffle
+    // instead of two over the (huge) shingle table, and the window leaves
+    // the stream hash-partitioned on shingle — exactly the partitioning
+    // the self-join below needs, so the join adds NO further exchange
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = shingles(docs).distinct()
+      .withColumn("df", count(lit(1)).over(dfW))
       .filter(col("df") <= maxShingleDf)
-      .select(col("shingle"))
-    val sh = all.join(rare, "shingle")
+      .drop("df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")
