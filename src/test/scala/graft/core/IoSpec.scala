@@ -25,6 +25,17 @@ class IoSpec extends SparkSpec {
     pruned.queryExecution.executedPlan.toString() should include("PartitionFilters: [isnotnull(k")
   }
 
+  it should "round-trip ORC through the same generic read/write specs" in {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    Io.write(df, Io.WriteSpec("orc", dir))
+    val back = Io.read(spark, Io.ReadSpec("orc", dir))
+    back.orderBy("id").collect().toSeq shouldBe df.orderBy("id").collect().toSeq
+    // ORC scans push filters like parquet does
+    val pruned = Io.read(spark, Io.ReadSpec("orc", dir)).filter(col("id") === 2L)
+    pruned.queryExecution.executedPlan.toString() should include("PushedFilters: [IsNotNull(id)")
+  }
+
   it should "control output file count and rows-per-file" in {
     def parquetFiles(dir: String): Seq[java.io.File] =
       new java.io.File(dir).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
