@@ -352,6 +352,51 @@ object TextQueries {
           .cast("long").as("n_words"))
   }
 
+  private def bucketSql(idExpr: String): String = {
+    def nib(k: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${k + 1}, 1)) - 1)"
+    s"((${nib(0)} * 4096 + ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 100)"
+  }
+
+  /** Deterministic train/val/test split (Sampling.hashSplit): assignment
+    * is a pure function of the id hash — rerun-stable, no shuffle, no
+    * RNG. Oracle replays the identical nibble arithmetic.
+    */
+  val hashSplit: Q = Q(
+    "x6_hash_split",
+    s"""SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+       |         WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY split""".stripMargin) { (s, dir) =>
+    graft.dedup.Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+  }
+
+  /** Deterministic stratified downsampling (Sampling.stratifiedSample):
+    * per-language keep rates rebalance the source mix, hash-gated so the
+    * kept set is reproducible at any scale.
+    */
+  val stratifiedSample: Q = {
+    val rates = Seq("en" -> 100, "de" -> 50, "fr" -> 25, "es" -> 10)
+    val pctSql = rates.foldLeft("0") { case (acc, (l, p)) =>
+      s"CASE WHEN lang = '$l' THEN $p ELSE $acc END"
+    }
+    Q(
+      "x7_stratified_sample",
+      s"""SELECT lang, count(*) AS n FROM documents
+         |WHERE ${bucketSql("doc_id")} < ($pctSql)
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        rates.map { case (l, p) => l -> p / 100.0 }.toMap)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }
+  }
+
   /** Stemmed LT/TT keys over the document corpus — exercises the native
     * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
     * the bench path. Rows-only: Porter stemming has no SQL-expressible
@@ -368,5 +413,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
-    textKeys, stemmedKeys, sentenceSplit)
+    textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample)
 }
