@@ -138,6 +138,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-hot shingles — the diagnostic twin of jaccardPairs'
+    * document-frequency cap: the top-k n-grams by document frequency
+    * above `minDf` are the site boilerplate / license headers / template
+    * text a cleaning pipeline should strip. One map-side shingle
+    * explosion, one combinable count, a k-row ordered result.
+    */
+  def hotShingles(docs: DataFrame, minDf: Long = 2L, k: Int = 20): DataFrame =
+    shingles(docs).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
   /** Duplicate-cluster resolution: assign every document appearing in a
     * candidate near-dup pair the minimum doc_id of its connected
     * component — the step that turns pairwise evidence into canonical

@@ -352,6 +352,20 @@ object TextQueries {
           .cast("long").as("n_words"))
   }
 
+  /** Boilerplate n-gram detection (Dedup.hotShingles): top-k shingles by
+    * document frequency over the near-dup-augmented corpus — what the
+    * jaccard DF cap drops, surfaced for cleaning.
+    */
+  val boilerplateNgrams: Q = Q(
+    "x8_boilerplate_ngrams",
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")}))
+       |SELECT shingle, count(*) AS df FROM sh
+       |GROUP BY shingle HAVING count(*) >= 2
+       |ORDER BY df DESC, shingle LIMIT 20""".stripMargin) { (s, dir) =>
+    Dedup.hotShingles(corpus(s, dir), minDf = 2L, k = 20)
+  }
+
   private def bucketSql(idExpr: String): String = {
     def nib(k: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${k + 1}, 1)) - 1)"
@@ -413,5 +427,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
-    textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample)
+    textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
+    boilerplateNgrams)
 }
