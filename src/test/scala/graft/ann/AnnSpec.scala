@@ -39,6 +39,16 @@ class AnnSpec extends SparkSpec {
     comparable.filter(col("ivf_top") =!= col("true_top")).count() shouldBe 0
   }
 
+  "hyperplane_code" should "be registered as a SQL function via GraftExtensions" in {
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hyperplane_code(array(1.0d, -2.0d, 0.5d, 3.0d), 4, 8, 0) AS c").head().getInt(0)
+    val viaColumn = spark.range(1)
+      .select(Ann.hyperplaneCode(array(lit(1.0), lit(-2.0), lit(0.5), lit(3.0)), 4, 8, 0).as("c"))
+      .head().getInt(0)
+    viaSql shouldBe viaColumn
+  }
+
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
     val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
     cells.count() shouldBe emb.count()
