@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, Sampling}
+import graft.text.TextAnalysis
+
+/** The end-to-end training-corpus cleaning pipeline, composed entirely
+  * from the library's oracle-checked operators — the C4-style chain a
+  * 100 TB pretraining ingest runs:
+  *
+  *   language filter → quality gate → exact-dup canonicalization →
+  *   near-dup cluster-loser removal → deterministic train/val/test split
+  *
+  * Stage shapes at scale: language/quality are map-side codegen'd
+  * expressions (no shuffle); exact canonical shuffles 32-char hashes;
+  * near-dup removal runs the capped-shingle inverted index + min-label
+  * propagation at candidate scale; the split is a pure id-hash function.
+  * Nothing in the chain materializes N² pairs or collects to the driver.
+  */
+object CorpusClean {
+
+  def apply(docs: DataFrame, minQuality: Double = 0.3, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("pl"),
+        TextAnalysis.wordCount(col("text")).as("nw"),
+        TextAnalysis.punctCount(col("text")).as("np"),
+        length(col("text")).as("nc"))
+      .filter(col("pl") === "en" && col("nw") > 0)
+      .filter(TextAnalysis.qualityScore(col("nw"), col("np"), col("nc")) >= minQuality)
+      .select(col("doc_id"))
+    val exactCanon = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupLosers = Dedup
+      .clusters(Dedup.jaccardPairs(docs, minJaccard, maxShingleDf))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    Sampling.hashSplit(
+      scored
+        .join(exactCanon, "doc_id")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti"),
+      "doc_id", trainPct, valPct)
+  }
+}

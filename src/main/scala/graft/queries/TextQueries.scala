@@ -411,6 +411,74 @@ object TextQueries {
     }
   }
 
+  /** The composed training-corpus cleaning pipeline
+    * (graft.pipelines.CorpusClean): language filter → quality gate →
+    * exact canonicalization → near-dup loser removal → deterministic
+    * split, every stage the same oracle-checked operator the x/d queries
+    * verify individually — here verified END TO END against one SQL
+    * program over the same corpus.
+    */
+  val cleanCorpus: Q = {
+    val maxDf = 50
+    val langCase =
+      s"""CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |     WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |     WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |     WHEN s_es > 0 THEN 'es' ELSE 'und' END""".stripMargin
+    Q(
+      "x9_clean_corpus",
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |scored AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, $langCase AS pl, nw, np, nc FROM (
+         |      SELECT doc_id,
+         |        ${stopCountSql(TextAnalysis.stopWordSeeds("en"))} AS s_en,
+         |        ${stopCountSql(TextAnalysis.stopWordSeeds("de"))} AS s_de,
+         |        ${stopCountSql(TextAnalysis.stopWordSeeds("fr"))} AS s_fr,
+         |        ${stopCountSql(TextAnalysis.stopWordSeeds("es"))} AS s_es,
+         |        len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw,
+         |        len(regexp_extract_all(text, '[^a-z0-9 ]')) AS np,
+         |        length(text) AS nc
+         |      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM corpus)))
+         |  WHERE pl = 'en' AND nw > 0
+         |    AND least(CAST(nw AS DOUBLE) / 50, 1.0) * (1 - CAST(np AS DOUBLE) / nc) >= 0.3),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sizes sa ON doc1 = sa.doc_id
+         |  JOIN sizes sb ON doc2 = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.r FROM reach r JOIN edges e ON r.doc_id = e.s),
+         |losers AS (
+         |  SELECT doc_id FROM (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id)
+         |  WHERE doc_id <> canonical_id),
+         |kept AS (
+         |  SELECT s.doc_id FROM scored s JOIN canon c ON s.doc_id = c.doc_id
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM losers))
+         |SELECT doc_id,
+         |  CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kept""".stripMargin) { (s, dir) =>
+      graft.pipelines.CorpusClean(corpus(s, dir), minQuality = 0.3, minJaccard = 0.5,
+        maxShingleDf = maxDf)
+        .select(col("doc_id"), col("split"))
+    }
+  }
+
   /** Stemmed LT/TT keys over the document corpus — exercises the native
     * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
     * the bench path. Rows-only: Porter stemming has no SQL-expressible
@@ -428,5 +496,5 @@ object TextQueries {
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
-    boilerplateNgrams)
+    boilerplateNgrams, cleanCorpus)
 }
