@@ -366,6 +366,30 @@ object TextQueries {
     Dedup.hotShingles(corpus(s, dir), minDf = 2L, k = 20)
   }
 
+  /** Overlapping word-window chunking (TextAnalysis.chunks): the
+    * sequence-packing precursor, all map-side array ops. The oracle
+    * replays the identical stride/ceiling arithmetic with list slicing.
+    */
+  val chunking: Q = {
+    val (cw, ov) = (40, 10)
+    val stride = cw - ov
+    Q(
+      "x10_chunking",
+      s"""SELECT doc_id, CAST(i AS INT) AS chunk_no,
+         |  array_to_string(w[(i*$stride + 1):(i*$stride + $cw)], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, w, unnest(range(0, nchunks)) AS i FROM (
+         |    SELECT doc_id, w,
+         |      greatest(1, (len(w) - $ov + ${stride - 1}) // $stride) AS nchunks
+         |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+         |          FROM documents)))""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.text.TextAnalysis.chunks(col("text"), cw, ov))
+            .as(Seq("chunk_no", "chunk_text")))
+    }
+  }
+
   private def bucketSql(idExpr: String): String = {
     def nib(k: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${k + 1}, 1)) - 1)"
@@ -496,5 +520,5 @@ object TextQueries {
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
-    boilerplateNgrams, cleanCorpus)
+    boilerplateNgrams, cleanCorpus, chunking)
 }

@@ -58,6 +58,23 @@ object TextAnalysis {
   def qualityScore(nWords: Column, nPunct: Column, nChars: Column): Column =
     least(nWords.cast("double") / 50, lit(1.0)) * (lit(1) - nPunct.cast("double") / nChars)
 
+  /** Fixed-size word-window chunks with overlap — the sequence-packing
+    * precursor: a document of n words becomes max(1, ⌈(n − overlap) /
+    * stride⌉) chunks starting every `chunkWords − overlap` words (the
+    * last chunk may be shorter). Entirely codegen'd array ops, map-side:
+    * chunking 100 TB shuffles nothing.
+    */
+  def chunks(text: Column, chunkWords: Int = 100, overlap: Int = 20): Column = {
+    require(overlap < chunkWords, "overlap must be < chunkWords")
+    val stride = chunkWords - overlap
+    val w = filter(split(text, " "), t => t =!= "")
+    val nChunks = greatest(lit(1),
+      floor((org.apache.spark.sql.functions.size(w) - overlap + (stride - 1))
+        .cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * stride + 1, lit(chunkWords)), " "))
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 over the character stream — a
     * deterministic content fingerprint computable identically in any
     * engine with a left fold.
