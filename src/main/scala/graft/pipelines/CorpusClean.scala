@@ -21,6 +21,24 @@ import graft.text.TextAnalysis
   */
 object CorpusClean {
 
+  /** Train/test decontamination report: near-dup pairs that straddle a
+    * split boundary — the leakage a hash split cannot see (near-dups
+    * hash independently) and an eval-integrity pipeline must remove.
+    * Returns (doc1, split1, doc2, split2, jaccard) for pairs whose
+    * members landed in different splits; cost is the capped-shingle
+    * candidate join plus two broadcast-size label attaches.
+    */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val labels = Sampling.hashSplit(docs, "doc_id", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    Dedup.jaccardPairs(docs, minJaccard, maxShingleDf)
+      .join(labels.select(col("doc_id").as("doc1"), col("split").as("split1")), "doc1")
+      .join(labels.select(col("doc_id").as("doc2"), col("split").as("split2")), "doc2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("doc1"), col("split1"), col("doc2"), col("split2"), col("jaccard"))
+  }
+
   def apply(docs: DataFrame, minQuality: Double = 0.3, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val scored = docs

@@ -366,6 +366,49 @@ object TextQueries {
     Dedup.hotShingles(corpus(s, dir), minDf = 2L, k = 20)
   }
 
+  /** Train/test decontamination (CorpusClean.splitLeakage): near-dup
+    * pairs straddling a hash-split boundary — the leakage a random split
+    * cannot see and an eval-integrity pipeline must remove.
+    */
+  val splitLeakage: Q = {
+    val maxDf = 50
+    Q(
+      "x11_split_leakage",
+      s"""WITH corpus AS ($corpusSql),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc1, doc2,
+         |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc1 = sa.doc_id
+         |  JOIN sizes sb ON doc2 = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         |labels AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |         WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM corpus)
+         |SELECT doc1, l1.split AS split1, doc2, l2.split AS split2, jaccard
+         |FROM pairs
+         |JOIN labels l1 ON doc1 = l1.doc_id
+         |JOIN labels l2 ON doc2 = l2.doc_id
+         |WHERE l1.split <> l2.split""".stripMargin) { (s, dir) =>
+      graft.pipelines.CorpusClean.splitLeakage(corpus(s, dir), minJaccard = 0.5,
+        maxShingleDf = maxDf)
+        .select(col("doc1"), col("split1"), col("doc2"), col("split2"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
   /** Overlapping word-window chunking (TextAnalysis.chunks): the
     * sequence-packing precursor, all map-side array ops. The oracle
     * replays the identical stride/ceiling arithmetic with list slicing.
@@ -520,5 +563,5 @@ object TextQueries {
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
-    boilerplateNgrams, cleanCorpus, chunking)
+    boilerplateNgrams, cleanCorpus, chunking, splitLeakage)
 }
