@@ -248,6 +248,66 @@ object EventQueries {
       .na.fill(0L, Seq("n_clicks"))
   }
 
+  /** Ordered funnel (view → click → purchase): stage k counts users whose
+    * first stage-k event strictly follows their entry into stage k-1. A
+    * ladder of per-user min-aggregations and equi-joins — each stage is
+    * one shuffle on user_id over an already-filtered stream, no window
+    * over full history.
+    */
+  val funnel: Q = Q(
+    "e11_funnel",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+      |v AS (SELECT user_id, min(tu) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(tu) AS t2 FROM ev e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tu > t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(tu) AS t3 FROM ev e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id)
+      |SELECT stage, count(*) AS users FROM (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p)
+      |GROUP BY stage""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), tsMicros.as("tu"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tu") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted per
+    * day-offset of later activity. Two shuffles (per-user min, then the
+    * (cohort, offset) rollup) — the standard retention matrix at any
+    * scale.
+    */
+  val cohortRetention: Q = Q(
+    "e12_cohort_retention",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |firstseen AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, cohort, day - cohort AS day_offset
+      |  FROM ev e JOIN firstseen USING (user_id))
+      |SELECT cohort, day_offset, count(*) AS users
+      |FROM activity GROUP BY cohort, day_offset""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts,
-    rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed)
+    rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed, funnel,
+    cohortRetention)
 }
