@@ -70,6 +70,21 @@ object Ann {
   def hyperplaneCode(embedding: Column, dim: Int, bits: Int, table: Int): Column =
     HyperplaneCodeExpression(embedding, dim, bits, table)
 
+  /** Oracle twin of [[hyperplaneCode]]: ANSI SQL computing the identical
+    * `bits`-wide sign code for one table over a DOUBLE[] column named
+    * `arr` (1-indexed), spelling out the same left-fold term chains so a
+    * SQL engine reproduces the Spark code bit-for-bit.
+    */
+  def hyperplaneCodeSql(table: Int, bits: Int, dim: Int, arr: String = "e"): String = {
+    def dotSql(b: Int): String =
+      "0.0" + hyperplaneTerms(table, b, dim).map { case (d, c) =>
+        (if (c > 0) " + " else " - ") + s"$arr[${d + 1}]"
+      }.mkString
+    (0 until bits)
+      .map(b => s"(CASE WHEN (${dotSql(b)}) > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
   /** Candidate pairs from `tables` independent LSH tables of 2^bits
     * buckets each, similarity filtered. The join shuffles on
     * (table_no, bucket) — with 16-bit codes the per-table bucket space is

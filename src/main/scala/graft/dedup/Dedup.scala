@@ -189,6 +189,28 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Embedding-cosine near-duplicate document pairs — the semantic
+    * dedup flavor (catches paraphrases and re-encodings that defeat
+    * lexical MinHash/SimHash). Candidates come from multi-table
+    * random-hyperplane LSH over the embedding column (Ann.lshPairs:
+    * shuffles on (table, bucket) keys whose space grows with `bits`,
+    * never N² pairs), verified by exact cosine, then document metadata is
+    * re-attached by id. The verified pair table is tiny relative to the
+    * corpus, so the metadata joins are plain equi-joins AQE promotes to
+    * broadcast when they fit.
+    */
+  def embeddingNearDups(embeddings: DataFrame, documents: DataFrame,
+      dim: Int = 64, bits: Int = 16, tables: Int = 4,
+      minSim: Double = 0.35): DataFrame = {
+    val pairs = graft.ann.Ann.lshPairs(embeddings, dim, bits, tables, minSim)
+    val meta = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(meta.select(col("doc_id").as("id1"), col("source").as("src1")), Seq("id1"))
+      .join(meta.select(col("doc_id").as("id2"), col("source").as("src2")), Seq("id2"))
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"),
+        col("src1"), col("src2"))
+  }
+
   /** n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
     * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
     * Shuffles on the shingle key, never N² pairs.

@@ -223,6 +223,40 @@ object TextQueries {
     }
   }
 
+  /** Embedding-cosine near-duplicate pairs (Dedup.embeddingNearDups) —
+    * the semantic dedup flavor: multi-table hyperplane-LSH candidates,
+    * exact cosine verify, document metadata re-attached. The oracle
+    * spells out the identical hyperplane fold chains
+    * (Ann.hyperplaneCodeSql) and re-joins the documents table.
+    */
+  val embeddingNearDups: Q = {
+    // bits=12 → 4096 buckets per table (growing with the parameter, so
+    // the candidate join never fixes its fan-in); 0.3 is the near-dup
+    // threshold that separates the synthetic corpus's label structure
+    val dim = 64; val bits = 12; val tables = 4; val minSim = 0.3
+    Q(
+      "d8_embedding_neardup",
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, e,
+         |    unnest([${(0 until tables).mkString(", ")}]) AS table_no,
+         |    unnest([${(0 until tables).map(tb => s"(${graft.ann.Ann.hyperplaneCodeSql(tb, bits, dim)})").mkString(", ")}]) AS bucket
+         |  FROM raw),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |  FROM coded a JOIN coded b
+         |    ON a.table_no = b.table_no AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >= $minSim)
+         |SELECT p.id1, p.id2, p.sim, d1.source AS src1, d2.source AS src2
+         |FROM pairs p
+         |JOIN documents d1 ON p.id1 = d1.doc_id
+         |JOIN documents d2 ON p.id2 = d2.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), t(s, dir, "documents"),
+        dim = dim, bits = bits, tables = tables, minSim = minSim)
+    }
+  }
+
   // ------------------------------------------------------------ text stats
 
   private def stopCountSql(stop: Seq[String]): String =
@@ -561,7 +595,8 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    ngramJaccardPairs, dedupClusters, langId, qualityScore, tokenStats, fingerprint,
+    ngramJaccardPairs, dedupClusters, embeddingNearDups, langId, qualityScore,
+    tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage)
 }

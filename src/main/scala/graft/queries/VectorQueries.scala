@@ -47,14 +47,7 @@ object VectorQueries {
     */
   val lshAnnPairs: Q = {
     val dim = 64; val bits = 16; val tables = 2
-    def dotSql(tbl: Int, b: Int): String =
-      "0.0" + Ann.hyperplaneTerms(tbl, b, dim).map { case (d, c) =>
-        (if (c > 0) " + " else " - ") + s"e[${d + 1}]"
-      }.mkString
-    def codeSql(tbl: Int): String =
-      (0 until bits)
-        .map(b => s"(CASE WHEN (${dotSql(tbl, b)}) > 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
+    def codeSql(tbl: Int): String = Ann.hyperplaneCodeSql(tbl, bits, dim)
     Q(
       "v2_lsh_ann_pairs",
       s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

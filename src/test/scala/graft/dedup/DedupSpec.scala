@@ -81,4 +81,20 @@ class DedupSpec extends SparkSpec {
     b100 should be > 64L
     b400 should be > (2 * b100)
   }
+
+  "embeddingNearDups" should "find a planted duplicate embedding and carry its metadata" in {
+    // 30 independent random 64-dim vectors (cross cosines stay well under
+    // 0.5) + one exact copy of vec 4 under a new id — the only pair that
+    // can clear the 0.95 near-dup bar, and an identical vector lands in
+    // the same LSH bucket in every table, so recall is guaranteed
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val embs = (base :+ ((200L, base(4)._2))).toDF("vec_id", "embedding")
+    val meta = ((0L until 30L).map(i => (i, s"src${i % 3}")) :+ ((200L, "srcX")))
+      .toDF("doc_id", "source")
+    val got = Dedup.embeddingNearDups(embs, meta, minSim = 0.95)
+      .select("id1", "id2", "src1", "src2").as[(Long, Long, String, String)]
+      .collect().toSet
+    got shouldBe Set((4L, 200L, "src1", "srcX"))
+  }
 }
