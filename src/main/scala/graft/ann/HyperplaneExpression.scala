@@ -15,7 +15,34 @@ import org.apache.spark.sql.types._
   * the SQL oracle spells out, so results are bit-identical cross-engine.
   */
 object HyperplaneKernel {
-  def code(arr: ArrayData, planes: Array[Array[Int]]): Int = {
+  /** Highest 1-based dimension index any plane term touches — computed
+    * once per expression and checked per row: UnsafeArrayData.getDouble
+    * past the end is an unchecked out-of-bounds read (silent garbage
+    * codes), so an embedding shorter than the plane table must fail
+    * loudly, matching the SQL oracle where element_at past the end is
+    * NULL rather than noise.
+    */
+  def maxDim(planes: Array[Array[Int]]): Int = {
+    var m = 0
+    var p = 0
+    while (p < planes.length) {
+      val terms = planes(p)
+      var i = 0
+      while (i < terms.length) {
+        val d = if (terms(i) > 0) terms(i) else -terms(i)
+        if (d > m) m = d
+        i += 1
+      }
+      p += 1
+    }
+    m
+  }
+
+  def code(arr: ArrayData, planes: Array[Array[Int]], maxDim: Int): Int = {
+    if (arr.numElements() < maxDim)
+      throw new IllegalArgumentException(
+        s"hyperplane_code: embedding has ${arr.numElements()} elements but the " +
+          s"plane table references dimension $maxDim; pass dim <= the real vector length")
     var bucket = 0
     var b = 0
     while (b < planes.length) {
@@ -62,14 +89,15 @@ case class HyperplaneCodeExpression(child: Expression, dim: Int, bits: Int, tabl
   override def prettyName: String = "hyperplane_code"
 
   @transient private lazy val planes = HyperplaneKernel.planes(table, bits, dim)
+  @transient private lazy val planesMaxDim = HyperplaneKernel.maxDim(planes)
 
   override def nullSafeEval(input: Any): Any =
-    HyperplaneKernel.code(input.asInstanceOf[ArrayData], planes)
+    HyperplaneKernel.code(input.asInstanceOf[ArrayData], planes, planesMaxDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.ann.HyperplaneKernel$$.MODULE$$.code($c, $planesRef);")
+      s"${ev.value} = graft.ann.HyperplaneKernel$$.MODULE$$.code($c, $planesRef, $planesMaxDim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneCodeExpression =

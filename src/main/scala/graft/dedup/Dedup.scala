@@ -156,14 +156,28 @@ object Dedup {
     * component — the step that turns pairwise evidence into canonical
     * groups for corpus dedup.
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(diameter) rounds and real dup clusters have tiny diameters. The
-    * per-round work is one shuffle on doc_id at candidate-set scale
-    * (pairs, not corpus); the driver only ever sees a changed-row count,
-    * and lineage is cut per round so the plan stays flat at any scale.
+    * Min-label propagation with pointer doubling: each round, every node
+    * takes the least of its own label, its neighbors' labels, and its
+    * label's label (the "label of label" self-join — Wyllie-style pointer
+    * jumping, the same shortcutting idea as Kiveris et al.'s
+    * large-star/small-star contraction). Plain neighbor propagation
+    * converges in O(diameter) rounds, so a pathological dup chain longer
+    * than maxIter would silently split; the jump step halves every
+    * label-chain each round, giving O(log diameter) convergence —
+    * maxIter=20 covers components a million hops across. The per-round
+    * work is two shuffles on doc_id/label at candidate-set scale (pairs,
+    * not corpus); the driver only ever sees a changed-row count, lineage
+    * is cut per round so the plan stays flat at any scale, and
+    * non-convergence throws instead of returning split clusters.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    clustersWithRounds(pairs, maxIter)._1
+
+  /** As clusters(), also returning the rounds taken — the convergence
+    * observability hook (DedupSpec asserts the O(log n) bound on a long
+    * path graph).
+    */
+  def clustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
@@ -177,16 +191,27 @@ object Dedup {
       val prop = edges.join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      // pointer jump: the label of my label (labels is keyed by every
+      // doc_id and labels only ever hold doc_ids, so the lookup is total)
+      val jump = labels
+        .select(col("doc_id").as("label"), col("label").as("plabel"))
       val next = labels.join(prop, Seq("doc_id"), "left")
+        .join(jump, Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
       labels = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    if (changed > 0) throw new IllegalStateException(
+      s"clusters() did not converge in $maxIter rounds ($changed labels still " +
+        "moving) — with pointer doubling this means a component ~2^maxIter hops " +
+        "across; raise maxIter")
+    (labels.select(col("doc_id"), col("label").as("canonical_id")), iter)
   }
 
   /** Embedding-cosine near-duplicate document pairs — the semantic

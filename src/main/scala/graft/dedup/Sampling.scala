@@ -39,7 +39,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double]): DataFrame = {
     val pct = rates.foldLeft(lit(0)) { case (acc, (stratum, rate)) =>
-      when(col(strataCol) === stratum, lit((rate * 100).toInt)).otherwise(acc)
+      when(col(strataCol) === stratum, lit(math.round(rate * 100).toInt)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol)) < pct)
   }

@@ -7,6 +7,30 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Io
+
+/** Per-input declaration — the reference's IOResourceConfig (reference
+  * spark/Helpers.scala:26: format/path/options per dataset, driven from
+  * reference.conf:35–67). `schema` is Spark DDL; the literal `infer`
+  * opts back into engine inference for ad-hoc exploration.
+  */
+final case class InputConf(
+    path: String,
+    format: Option[String] = None,
+    schema: Option[String] = None,
+    options: Map[String, String] = Map.empty)
+
+/** Per-output write shaping — the reference drives partitionBy and writer
+  * options per dataset from config (reference spark/Helpers.scala:217–220);
+  * targetFiles/maxRecordsPerFile are this library's small-file and
+  * large-file controls (core/Io.scala WriteSpec).
+  */
+final case class OutputConf(
+    partitionBy: Seq[String] = Nil,
+    targetFiles: Int = 0,
+    maxRecordsPerFile: Long = 0L)
 
 /** File-driven run configuration — the reference's "same jar, different
   * release config" workflow (reference Configuration.scala:73–81 loading
@@ -16,19 +40,46 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * this container ships no HOCON parser, so the file format is YAML
   * (jackson-dataformat-yaml is on Spark's classpath) with identical
   * layering semantics: file values ← CLI `key=value` overrides, nested
-  * keys dotted (`w2v.vectorSize=64`), section ranks and Word2Vec
-  * hyperparameters overridable without recompiling.
+  * keys dotted (`w2v.vectorSize=64`), section ranks, input schemas and
+  * per-output write options all overridable without recompiling.
   */
 final case class EtlConfig(
     out: String,
     format: String = "parquet",
-    inputs: Map[String, String] = Map.empty,
+    inputs: Map[String, InputConf] = Map.empty,
+    outputs: Map[String, OutputConf] = Map.empty,
     threshold: Double = 0.01,
     w2v: Embedding.W2VConfig = Embedding.W2VConfig(),
     sectionRanks: Seq[SectionRank] = SectionRanks.default) {
 
-  def input(key: String): String =
+  def inputConf(key: String): InputConf =
     inputs.getOrElse(key, sys.error(s"inputs.$key is required (CLI $key=… or config file)"))
+
+  def input(key: String): String = inputConf(key).path
+
+  /** Materialize a ReadSpec for a declared input. Config wins over the
+    * step's defaults; `schema: infer` forces inference even when the
+    * step has a built-in schema (the EPMC default is EpmcSchema).
+    */
+  def readSpec(key: String, defaultFormat: String,
+      defaultSchema: Option[StructType] = None,
+      defaultOptions: Map[String, String] = Map.empty): Io.ReadSpec = {
+    val ic = inputConf(key)
+    val schema = ic.schema.map(_.trim) match {
+      case Some("infer") => None
+      case Some(ddl)     => Some(StructType.fromDDL(ddl))
+      case None          => defaultSchema
+    }
+    Io.ReadSpec(ic.format.getOrElse(defaultFormat), ic.path, schema,
+      if (ic.options.nonEmpty) ic.options else defaultOptions)
+  }
+
+  /** WriteSpec for a named output dataset, shaped by its OutputConf. */
+  def writeSpec(name: String, path: String): Io.WriteSpec = {
+    val oc = outputs.getOrElse(name, OutputConf())
+    Io.WriteSpec(format, path, partitionBy = oc.partitionBy, mode = "overwrite",
+      maxRecordsPerFile = oc.maxRecordsPerFile, targetFiles = oc.targetFiles)
+  }
 }
 
 object EtlConfig {
@@ -52,6 +103,11 @@ object EtlConfig {
 
   /** YAML → (dotted scalar keys, structured sectionRanks). Kept separate
     * from build() so tests can exercise the parse in isolation.
+    *
+    * Lists are rejected except `sectionRanks` (structured) and
+    * `*.partitionBy` (scalar list, comma-joined): any other YAML array —
+    * e.g. a mistakenly list-valued inputs entry — fails fast instead of
+    * silently degrading the run to defaults.
     */
   private[etl] def parseYaml(text: String): (Map[String, String], Option[Seq[SectionRank]]) = {
     val root = new ObjectMapper(new YAMLFactory()).readTree(text)
@@ -63,6 +119,14 @@ object EtlConfig {
           walk(if (prefix.isEmpty) f else s"$prefix.$f", node.get(f))
         }
       } else if (node.isValueNode) flat(prefix) = node.asText()
+      else if (node.isArray && prefix.endsWith("partitionBy")) {
+        val items = node.elements().asScala.toSeq
+        require(items.forall(_.isValueNode),
+          s"config key $prefix must be a list of column names")
+        flat(prefix) = items.map(_.asText()).mkString(",")
+      } else sys.error(
+        s"unexpected YAML ${node.getNodeType} at '$prefix' " +
+          "(lists are only valid for sectionRanks and *.partitionBy)")
     root.fieldNames().asScala.filterNot(_ == "sectionRanks")
       .foreach(f => walk(f, root.get(f)))
     val ranks = Option(root.get("sectionRanks")).map { arr =>
@@ -73,6 +137,55 @@ object EtlConfig {
     (flat.toMap, ranks)
   }
 
+  /** Group `inputs.<name>[...]` dotted keys into InputConfs. A bare
+    * `inputs.<name>=path` scalar (the legacy CLI form) and the structured
+    * `inputs.<name>.path/format/schema/options.*` form are equivalent.
+    */
+  private def inputConfs(kv: Map[String, String]): Map[String, InputConf] = {
+    val entries = kv.collect {
+      case (k, v) if k.startsWith("inputs.") => k.stripPrefix("inputs.") -> v
+    }
+    val names = entries.keySet.map(_.split("\\.", 2)(0))
+    names.map { n =>
+      val sub = entries.collect {
+        case (k, v) if k.startsWith(s"$n.") => k.stripPrefix(s"$n.") -> v
+      }
+      val known = sub.keys.filter(k =>
+        k != "path" && k != "format" && k != "schema" && !k.startsWith("options."))
+      require(known.isEmpty, s"unknown config keys under inputs.$n: ${known.mkString(", ")}")
+      val path = entries.get(n).orElse(sub.get("path")).getOrElse(
+        sys.error(s"inputs.$n needs a path (inputs.$n= or inputs.$n.path=)"))
+      n -> InputConf(
+        path = path,
+        format = sub.get("format"),
+        schema = sub.get("schema"),
+        options = sub.collect {
+          case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v
+        })
+    }.toMap
+  }
+
+  /** Group `outputs.<name>.*` dotted keys into OutputConfs. */
+  private def outputConfs(kv: Map[String, String]): Map[String, OutputConf] = {
+    val entries = kv.collect {
+      case (k, v) if k.startsWith("outputs.") => k.stripPrefix("outputs.") -> v
+    }
+    val names = entries.keySet.map(_.split("\\.", 2)(0))
+    names.map { n =>
+      val sub = entries.collect {
+        case (k, v) if k.startsWith(s"$n.") => k.stripPrefix(s"$n.") -> v
+      }
+      val unknown = sub.keys.filterNot(
+        Set("partitionBy", "targetFiles", "maxRecordsPerFile"))
+      require(unknown.isEmpty, s"unknown config keys under outputs.$n: ${unknown.mkString(", ")}")
+      n -> OutputConf(
+        partitionBy = sub.get("partitionBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        targetFiles = sub.get("targetFiles").map(_.toInt).getOrElse(0),
+        maxRecordsPerFile = sub.get("maxRecordsPerFile").map(_.toLong).getOrElse(0L))
+    }.toMap
+  }
+
   private def build(kv: Map[String, String], ranks: Option[Seq[SectionRank]]): EtlConfig = {
     val w2vD = Embedding.W2VConfig()
     def i(k: String, d: Int): Int = kv.get(k).map(_.toInt).getOrElse(d)
@@ -80,9 +193,8 @@ object EtlConfig {
     EtlConfig(
       out = kv.getOrElse("out", sys.error("out is required (out= or config file)")),
       format = kv.getOrElse("format", "parquet"),
-      inputs = kv.collect {
-        case (key, v) if key.startsWith("inputs.") => key.stripPrefix("inputs.") -> v
-      },
+      inputs = inputConfs(kv),
+      outputs = outputConfs(kv),
       threshold = d("threshold", 0.01),
       w2v = Embedding.W2VConfig(
         windowSize = i("w2v.windowSize", w2vD.windowSize),

@@ -240,6 +240,12 @@ object RelationalQueries {
     * the closing arithmetic is the identical double expression tree on
     * both sides. Builtin stddev_samp/corr/covar_samp are cross-checked
     * against this formula in RelationalQueriesSpec.
+    *
+    * The final `+ 0.0` on each rounded output normalizes IEEE negative
+    * zero: DuckDB's round() preserves the sign of a tiny negative value
+    * (−2.4e−07 → −0.0) while Spark's Round goes through BigDecimal which
+    * cannot represent −0 and yields +0.0. `−0.0 + 0.0 = +0.0` on both
+    * engines and leaves every other value unchanged.
     */
   val statsAggs: Q = Q(
     "a16_stats_aggs",
@@ -255,9 +261,9 @@ object RelationalQueries {
       |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(15,2)) * CAST(l_tax AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sdt
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag,
-      |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS sd_qty,
-      |  round((sqd - sq * sd / n) / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)), 4) AS corr_qd,
-      |  round((sdt - sd * st / n) / (n - 1), 6) AS cov_dt
+      |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) + 0.0 AS sd_qty,
+      |  round((sqd - sq * sd / n) / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)), 4) + 0.0 AS corr_qd,
+      |  round((sdt - sd * st / n) / (n - 1), 6) + 0.0 AS cov_dt
       |FROM m""".stripMargin) { (s, dir) =>
     def d2(c: Column): Column = c.cast("decimal(15,2)")
     def prodSum(a: Column, b: Column): Column =
@@ -275,13 +281,13 @@ object RelationalQueries {
         prodSum(col("l_discount"), col("l_tax")).as("sdt"))
     m.select(
       col("l_returnflag"),
-      round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 4)
+      (round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 4) + 0.0)
         .as("sd_qty"),
-      round(
+      (round(
         (col("sqd") - col("sq") * col("sd") / col("n")) /
           sqrt((col("sqq") - col("sq") * col("sq") / col("n")) *
-            (col("sdd") - col("sd") * col("sd") / col("n"))), 4).as("corr_qd"),
-      round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - 1), 6).as("cov_dt"))
+            (col("sdd") - col("sd") * col("sd") / col("n"))), 4) + 0.0).as("corr_qd"),
+      (round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - 1), 6) + 0.0).as("cov_dt"))
   }
 
   // --------------------------------------------------------------- J: joins

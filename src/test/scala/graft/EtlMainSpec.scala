@@ -48,6 +48,97 @@ class EtlMainSpec extends SparkSpec {
     e.getMessage should include("unknown step")
   }
 
+  it should "validate an ordered multi-step list up front" in {
+    EtlMain.validateSteps(Seq("processing", "embedding", "vectors")) shouldBe
+      Seq("processing", "embedding", "vectors")
+    EtlMain.validateSteps(Seq("all")) shouldBe
+      Seq("processing", "embedding", "vectors", "evidence")
+    // a typo anywhere in the list fails before any step runs
+    val e = intercept[RuntimeException] {
+      EtlMain.validateSteps(Seq("processing", "embeding", "vectors"))
+    }
+    e.getMessage should include("embeding")
+  }
+
+  it should "read EPMC with the declared schema (no inference pass) and " +
+    "shape outputs from config" in {
+    val in = Files.createTempDirectory("graft-sch-in").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft-sch-out").toFile.getAbsolutePath + "/run"
+
+    Fixtures.epmc(spark).write.mode("overwrite").json(s"$in/epmc")
+    Fixtures.epmcIds(spark).write.mode("overwrite").option("header", "true").csv(s"$in/ids")
+    Fixtures.targets(spark).write.mode("overwrite").parquet(s"$in/targets")
+    Fixtures.diseases(spark).write.mode("overwrite").parquet(s"$in/diseases")
+    Fixtures.drugs(spark).write.mode("overwrite").parquet(s"$in/drugs")
+
+    val yaml =
+      s"""out: $out
+         |inputs:
+         |  epmc:
+         |    path: $in/epmc
+         |    format: json
+         |  epmcids: $in/ids
+         |  targets: $in/targets
+         |  diseases: $in/diseases
+         |  drugs: $in/drugs
+         |outputs:
+         |  matches:
+         |    partitionBy: [year]
+         |    targetFiles: 1
+         |  literatureIndex:
+         |    targetFiles: 1
+         |    maxRecordsPerFile: 1000
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft-sch", ".yaml")
+    Files.write(cfgPath, yaml.getBytes("UTF-8"))
+    val cfg = EtlConfig.load(Some(cfgPath.toString), Map.empty)
+
+    // the EPMC ReadSpec carries the built-in schema by default: the scan
+    // must not run a JSON inference pre-pass (a full extra read at 100 TB)
+    val spec = cfg.readSpec("epmc", "json", Some(graft.etl.EpmcSchema.schema))
+    spec.schema shouldBe Some(graft.etl.EpmcSchema.schema)
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    val df = graft.core.Io.read(spark, spec)
+    df.schema shouldBe graft.etl.EpmcSchema.schema
+    // inferred-schema json runs a full read job right here; schema'd json
+    // must plan without launching any job
+    tracker.getJobIdsForGroup(null).length shouldBe jobsBefore
+
+    EtlMain.run("processing", cfg, spark)
+
+    // partitionBy reached the writer: hive-style year=... directories,
+    // and targetFiles=1 bounds files per partition directory
+    val matchesDir = new java.io.File(s"$out/matches")
+    val partDirs = matchesDir.listFiles().filter(_.isDirectory).map(_.getName)
+    partDirs.count(_.startsWith("year=")) should be > 0
+    partDirs.filter(_.startsWith("year=")).foreach { p =>
+      new java.io.File(matchesDir, p).listFiles()
+        .count(_.getName.endsWith(".parquet")) shouldBe 1
+    }
+    new java.io.File(s"$out/literatureIndex").listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 1
+    // results identical to the inference path
+    spark.read.parquet(s"$out/matches").count() shouldBe 9
+  }
+
+  it should "fail fast on unexpected YAML lists and unknown output keys" in {
+    val badList = Files.createTempFile("graft-bad", ".yaml")
+    Files.write(badList, "out: /tmp/x\ninputs:\n  epmc: [a, b]\n".getBytes("UTF-8"))
+    val e1 = intercept[RuntimeException] {
+      EtlConfig.load(Some(badList.toString), Map.empty)
+    }
+    e1.getMessage should include("inputs.epmc")
+
+    val badKey = Files.createTempFile("graft-bad2", ".yaml")
+    Files.write(badKey,
+      "out: /tmp/x\noutputs:\n  matches:\n    targetfiles: 3\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.load(Some(badKey.toString), Map.empty)
+    }
+    e2.getMessage should include("targetfiles")
+  }
+
   it should "run a step from a YAML config file with CLI overrides on top" in {
     val in = Files.createTempDirectory("graft-cfg-in").toFile.getAbsolutePath
     val out = Files.createTempDirectory("graft-cfg-out").toFile.getAbsolutePath + "/run"

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     got shouldBe Map(3L -> 3L, 100L -> 3L, 5L -> 5L, 101L -> 5L)
   }
 
+  it should "resolve a path far longer than maxIter in O(log n) rounds" in {
+    // a 200-hop dup chain: plain min-propagation needs 200 rounds and
+    // would silently split at maxIter=20; pointer doubling halves every
+    // label chain per round
+    val n = 200
+    val path = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = Dedup.clustersWithRounds(path, maxIter = 20)
+    rounds should be <= (math.ceil(math.log(n + 1.0) / math.log(2)).toInt + 2)
+    labels.select("canonical_id").distinct().as[Long].collect() shouldBe Array(0L)
+    labels.count() shouldBe (n + 1).toLong
+  }
+
+  it should "throw instead of returning split clusters when not converged" in {
+    val path = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("doc1", "doc2")
+    // maxIter=1 cannot close a 40-hop chain even with doubling
+    an[IllegalStateException] should be thrownBy
+      Dedup.clusters(path, maxIter = 1)
+  }
+
   "simhash banding" should "spread a growing corpus over a growing bucket space" in {
     // the 64-bit / 16-bit-band scheme must not collapse to a constant
     // bucket count (the old 16-bit signature capped at 4 bands × 16
