@@ -169,11 +169,18 @@ object Ann {
       .select(col("vec_id"), col("e"), col("cell"))
   }
 
-  /** IVF search: route each query to its nearest centroid cell (nprobe=1),
-    * then exact top-k within that cell only. The fine search shuffles on
-    * the cell key; with C cells it scans ~1/C of the corpus per query.
+  /** IVF search: route each query to its `nprobe` nearest centroid cells,
+    * then exact top-k within those cells only. The fine search shuffles on
+    * the cell key; with C cells it scans ~nprobe/C of the corpus per
+    * query. nprobe=1 is the cheapest but loses neighbors sitting just
+    * across a cell boundary — the first recall complaint a real user
+    * files; nprobe=2–4 recovers most boundary losses for a linear (not
+    * quadratic) candidate-budget increase. Every vector lives in exactly
+    * one cell, so probing more cells never duplicates a candidate and the
+    * top-k window needs no dedup.
     */
-  def ivfSearch(embeddings: DataFrame, cellCol: String, queries: DataFrame, k: Int): DataFrame = {
+  def ivfSearch(embeddings: DataFrame, cellCol: String, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cents = centroids(embeddings, cellCol)
     val toCent = VectorOps.cosine(col("qe"), col("ce"))
     val wAssign = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
@@ -182,7 +189,7 @@ object Ann {
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("qe"), col("cell"), toCent.as("csim"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell"))
 
     val sim = VectorOps.cosine(col("qe"), col("ne"))

@@ -162,6 +162,42 @@ object VectorQueries {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** IVF at nprobe=2 (Ann.ivfSearch): each query probes its two nearest
+    * cells, recovering neighbors that sit just across its home cell's
+    * boundary — the standard recall/candidate-budget dial. Each vector
+    * lives in exactly one cell, so the probed unions are disjoint and the
+    * top-k window needs no dedup.
+    */
+  val ivfNprobe: Q = Q(
+    "v7_ivf_nprobe2",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |comp AS (
+      |  SELECT label AS cell, dim,
+      |    CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+      |  FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+      |        FROM embeddings)
+      |  GROUP BY cell, dim),
+      |cents AS (SELECT cell, list(c ORDER BY dim) AS ce FROM comp GROUP BY cell),
+      |q AS (SELECT vec_id AS query_id, ev AS qe FROM e WHERE vec_id < 5),
+      |assigned AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.query_id, q.qe, cents.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qe, cents.ce) DESC, cents.cell) AS rn
+      |    FROM q CROSS JOIN cents) WHERE rn <= 2)
+      |SELECT query_id, cell, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.qe, e.ev) AS sim,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY list_cosine_similarity(a.qe, e.ev) DESC, e.vec_id) AS rn
+      |  FROM assigned a JOIN e ON e.label = a.cell AND e.vec_id <> a.query_id)
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    Ann.ivfSearch(e, "label", e.filter(col("vec_id") < 5), k = 3, nprobe = 2)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
-    kmeansCells)
+    kmeansCells, ivfNprobe)
 }

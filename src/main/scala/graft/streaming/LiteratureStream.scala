@@ -51,6 +51,23 @@ object LiteratureStream {
     }
   }
 
+  /** Idempotent per-batch parquet sink — the exactly-once half the engine
+    * cannot provide on its own. foreachBatch is at-least-once: after a
+    * crash between sink write and checkpoint commit, the restarted query
+    * REPLAYS the same micro-batch with the same batchId. Writing each
+    * dataset to a hive-style `batch_id=<id>` directory with overwrite
+    * makes the replay rewrite the same files instead of double-appending;
+    * combined with `checkpointLocation` on the writer this is end-to-end
+    * exactly-once. Readers see one partitioned table per dataset
+    * (`spark.read.parquet(root + "/matches")` with a batch_id column).
+    */
+  def parquetSink(root: String): BatchOutputs => Unit = out => {
+    out.matches.write.mode("overwrite")
+      .parquet(s"$root/matches/batch_id=${out.batchId}")
+    out.cooccurrences.write.mode("overwrite")
+      .parquet(s"$root/cooccurrences/batch_id=${out.batchId}")
+  }
+
   /** Convenience: run with availableNow semantics (drain what's there,
     * then stop) — the batch-backfill mode of the same stream.
     */

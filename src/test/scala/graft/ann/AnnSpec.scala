@@ -39,6 +39,34 @@ class AnnSpec extends SparkSpec {
     comparable.filter(col("ivf_top") =!= col("true_top")).count() shouldBe 0
   }
 
+  it should "recover cross-boundary neighbors at nprobe=2" in {
+    // query 100 routes to cell 0 (its centroid is closest) but its true
+    // nearest neighbor (0.6, 0.8) lives in cell 1, whose centroid is
+    // dragged away by an outlier — the textbook nprobe=1 recall loss
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.95f, 0.05f), 0),
+      (2L, Array(0.6f, 0.8f), 1),
+      (3L, Array(-0.9f, 0.44f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val query = Seq((100L, Array(0.8f, 0.6f), 9)).toDF("vec_id", "embedding", "label")
+
+    val p1 = Ann.ivfSearch(corpus, "label", query, k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    val p2 = Ann.ivfSearch(corpus, "label", query, k = 1, nprobe = 2)
+      .select("neighbor_id").as[Long].collect()
+    val brute = Ann.bruteForceKnn(corpus, query, k = 1)
+      .select("neighbor_id").as[Long].collect()
+
+    brute shouldBe Array(2L)  // (0.6, 0.8) at cosine 0.96
+    p1 should not be brute    // cell 0 only: best is vec 1 at ~0.83
+    p2 shouldBe brute         // probing the second cell recovers it
+
+    // at equal k the candidate budget only doubles, never squares: the
+    // probed cells are disjoint, so candidates = |cell A| + |cell B|
+    Ann.ivfSearch(corpus, "label", query, k = 10, nprobe = 2).count() shouldBe 4L
+  }
+
   "hyperplane_code" should "be registered as a SQL function via GraftExtensions" in {
     graft.GraftExtensions.register(spark)
     val viaSql = spark.sql(
