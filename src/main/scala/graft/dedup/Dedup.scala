@@ -18,12 +18,17 @@ object Dedup {
     */
   def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3): DataFrame = {
+    // zip_with over shifted slices, not transform(sequence, i =>
+    // slice(w, i, n)): a higher-order lambda re-evaluates captured outer
+    // expressions per element, so the indexed form re-splits the text
+    // once per shingle — O(words²) per document
     val w = split(col(textCol), " ")
+    val m = size(w) - (n - 1)
+    val sh = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, off) =>
+      zip_with(acc, slice(w, lit(off + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
     docs.filter(size(w) >= n)
-      .select(
-        col(idCol).as("doc_id"),
-        explode(transform(sequence(lit(1), size(w) - (n - 1)),
-          i => array_join(slice(w, i, lit(n)), " "))).as("shingle"))
+      .select(col(idCol).as("doc_id"), explode(sh).as("shingle"))
   }
 
   /** Exact dedup by content hash: one row per distinct text with the

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines. Every
@@ -42,5 +43,41 @@ object Sampling {
       when(col(strataCol) === stratum, lit(math.round(rate * 100).toInt)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol)) < pct)
+  }
+
+  /** Sequence packing: assign documents, in id order, to fixed
+    * token-budget training context windows ("packs"). Each doc's pack is
+    * `floor(exclusive-prefix-sum(sizes) / budget)` — the contiguous-fill
+    * packing a packed-dataset builder produces after sorting (true
+    * first-fit bin packing is inherently serial; this is the
+    * distributed-friendly semantics, and the last doc of a pack may
+    * straddle the boundary).
+    *
+    * The prefix sum is the textbook two-level distributed form, NOT one
+    * global window (`Window.orderBy(id)` funnels the corpus through a
+    * single task — the classic 100 TB killer): per-range subtotals
+    * (one combinable shuffle on ~|corpus|/rangeWidth ranges), exclusive
+    * running offsets over that tiny range table (a driver-scale window),
+    * broadcast back, then a per-range window that parallelizes across
+    * ranges. Identical values to the global cumsum, oracle-checked.
+    *
+    * `idCol` must be numeric; `sizeCol` is the doc's token count.
+    */
+  def sequencePacks(df: DataFrame, idCol: String, sizeCol: Column,
+      budget: Long, rangeWidth: Long = 4096): DataFrame = {
+    require(budget > 0 && rangeWidth > 0, "budget and rangeWidth must be positive")
+    val toks = df.select(col(idCol), sizeCol.cast("long").as("tokens"),
+      floor(col(idCol) / rangeWidth).cast("long").as("rng"))
+    val wr = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("rng")).agg(sum(col("tokens")).as("rtot"))
+      .withColumn("roff", coalesce(sum(col("rtot")).over(wr), lit(0L)))
+      .select(col("rng"), col("roff"))
+    val wd = Window.partitionBy(col("rng")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start", col("roff") + coalesce(sum(col("tokens")).over(wd), lit(0L)))
+      .select(col(idCol), col("tokens"), col("start"),
+        floor(col("start") / budget).cast("long").as("pack_id"))
   }
 }

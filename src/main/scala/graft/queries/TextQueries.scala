@@ -462,7 +462,9 @@ object TextQueries {
          |          FROM documents)))""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(graft.text.TextAnalysis.chunks(col("text"), cw, ov))
+          filter(split(col("text"), " "), t => t =!= "").as("w"))
+        .select(col("doc_id"),
+          posexplode(graft.text.TextAnalysis.chunksFromWords(col("w"), cw, ov))
             .as(Seq("chunk_no", "chunk_text")))
     }
   }
@@ -593,10 +595,119 @@ object TextQueries {
       graft.text.TextNormalize.ttKey(col("text")).as("tt_key"))
   }
 
+  /** Sequence packing (Sampling.sequencePacks): docs in id order fill
+    * fixed token-budget context windows; pack_id = ⌊exclusive-prefix-sum
+    * / budget⌋ via the two-level distributed prefix sum (per-range
+    * subtotals + broadcast offsets — never one global window over the
+    * corpus). The oracle's single global cumsum is value-identical.
+    */
+  val sequencePacking: Q = {
+    val budget = 512L
+    Q(
+      "x12_sequence_packing",
+      s"""SELECT doc_id,
+         |  CAST(tokens AS BIGINT) AS tokens,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(start // $budget AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, tokens,
+         |    COALESCE(sum(tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM (SELECT doc_id,
+         |          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tokens
+         |        FROM documents))""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.sequencePacks(
+        t(s, dir, "documents"), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")),
+        budget = budget, rangeWidth = 64)
+    }
+  }
+
+  /** Intra-document repetition ratio (TextAnalysis.repetitionRatio):
+    * 1 − distinct/total word trigrams — the Gopher-style repetitious-text
+    * quality filter, entirely map-side. The oracle replays the identical
+    * trigram construction and ratio.
+    */
+  val repetition: Q = Q(
+    "x13_repetition_ratio",
+    """SELECT doc_id,
+      |  CAST(len(tg) AS INT) AS n_trigrams,
+      |  CAST(len(list_distinct(tg)) AS INT) AS n_unique,
+      |  round(CASE WHEN len(tg) > 0
+      |        THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+      |        ELSE 0.0 END, 6) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1),
+      |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
+      |      ELSE [] END AS tg
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |        FROM documents))""".stripMargin) { (s, dir) =>
+    // tg is projected ONCE, then referenced — CollapseProject keeps the
+    // non-cheap array alive instead of duplicating its construction
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextAnalysis.wordTrigrams(col("text")).as("tg"))
+      .select(col("doc_id"),
+        size(col("tg")).as("n_trigrams"),
+        size(array_distinct(col("tg"))).as("n_unique"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_unique"),
+        round(when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_unique").cast("double") / col("n_trigrams"))
+          .otherwise(0.0), 6).as("rep_ratio"))
+  }
+
+  /** BM25 top-k retrieval (TextSearch.bm25TopK) — the lexical twin of the
+    * ANN surface: inverted index shuffled once on term, broadcast query
+    * terms, stopword DF cap before the postings join, per-(query, doc)
+    * score as a term-ordered fold the oracle replays bit-for-bit.
+    * Queries are docs 0–4's first 8 words; the testdata vocabulary is
+    * tiny (31 terms, median df 0.78·N), so the cap here is 0.8 — the
+    * library default 0.5 would blank every query on THIS corpus (the
+    * cap's filtering behavior itself is locked by TextSearchSpec).
+    */
+  val bm25: Q = Q(
+    "x14_bm25_topk",
+    """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |           FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(CAST(CAST(len(w) AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avgdl
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |terms AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
+      |  FROM dfreq, stats WHERE CAST(df AS DOUBLE) <= 0.8 * n_docs),
+      |q AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:8])) AS term
+      |      FROM d WHERE doc_id < 5),
+      |scored AS (SELECT q.query_id, tf.doc_id, tf.term,
+      |    terms.idf * (tf.tf * (1.2 + 1)) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / terms.avgdl)) AS s
+      |  FROM tf JOIN q USING (term) JOIN terms USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id),
+      |agg AS (SELECT query_id, doc_id,
+      |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b) AS score
+      |  FROM scored GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, round(score, 6) AS score, CAST(rn AS INT) AS rank
+      |FROM (SELECT query_id, doc_id, score,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |      FROM agg)
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        slice(filter(split(col("text"), " "), t => t =!= ""), 1, 8).as("terms"))
+    graft.text.TextSearch.bm25TopK(docs, queries, k = 5, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"),
+        col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, embeddingNearDups, langId, qualityScore,
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
-    boilerplateNgrams, cleanCorpus, chunking, splitLeakage)
+    boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
+    sequencePacking, repetition, bm25)
 }

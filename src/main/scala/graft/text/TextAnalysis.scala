@@ -64,10 +64,19 @@ object TextAnalysis {
     * last chunk may be shorter). Entirely codegen'd array ops, map-side:
     * chunking 100 TB shuffles nothing.
     */
-  def chunks(text: Column, chunkWords: Int = 100, overlap: Int = 20): Column = {
+  def chunks(text: Column, chunkWords: Int = 100, overlap: Int = 20): Column =
+    chunksFromWords(filter(split(text, " "), t => t =!= ""), chunkWords, overlap)
+
+  /** chunks() over a pre-tokenized words column. Chunks overlap, so the
+    * indexed-transform shape is unavoidable here — pass an ALREADY
+    * PROJECTED column (an attribute), not an inline split expression:
+    * the lambda re-evaluates whatever it captures once per chunk, and an
+    * attribute re-read is free while an inline split is O(words) per
+    * chunk (quadratic per document on long docs).
+    */
+  def chunksFromWords(w: Column, chunkWords: Int = 100, overlap: Int = 20): Column = {
     require(overlap < chunkWords, "overlap must be < chunkWords")
     val stride = chunkWords - overlap
-    val w = filter(split(text, " "), t => t =!= "")
     val nChunks = greatest(lit(1),
       floor((org.apache.spark.sql.functions.size(w) - overlap + (stride - 1))
         .cast("double") / stride).cast("int"))
@@ -84,4 +93,38 @@ object TextAnalysis {
       regexp_extract_all(text, lit("[\\s\\S]"), lit(0)),
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Word trigrams as strings (empty below 3 words) — the unit of the
+    * intra-document repetition filter. Map-side array ops.
+    *
+    * Shape matters: a higher-order lambda body re-evaluates any OUTER
+    * expression it captures once per element (`transform(seq, i =>
+    * element_at(w, i))` re-runs the whole split+filter per index —
+    * quadratic per row, measured 1 ms/row on 54-word docs). zip_with
+    * instead evaluates the three shifted slices once per row as plain
+    * children, and the lambdas touch only their own variables.
+    */
+  def wordTrigrams(text: Column): Column = {
+    val w = filter(split(text, " "), t => t =!= "")
+    val n = size(w)
+    when(n >= 3, {
+      val a = slice(w, lit(1), n - 2)
+      val b = slice(w, lit(2), n - 2)
+      val c = slice(w, lit(3), n - 2)
+      zip_with(zip_with(a, b, (x, y) => concat(x, lit(" "), y)), c,
+        (xy, z) => concat(xy, lit(" "), z))
+    }).otherwise(array().cast("array<string>"))
+  }
+
+  /** Intra-document repetition ratio: 1 − distinct/total word trigrams —
+    * the Gopher-style "repetitious document" quality signal (templated or
+    * looping text scores high; a doc under 3 words scores 0). Entirely
+    * map-side.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val tg = wordTrigrams(text)
+    when(size(tg) > 0,
+      lit(1.0) - size(array_distinct(tg)).cast("double") / size(tg))
+      .otherwise(lit(0.0))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.decSum
+
+/** Lexical retrieval over the document corpus: BM25 top-k ranking — the
+  * keyword twin of the embedding ANN surface (graft.ann.Ann), used in
+  * training-data pipelines for keyword decontamination, targeted data
+  * selection and retrieval baselines.
+  *
+  * Scale shape: the inverted index (term → postings) shuffles on the
+  * term key once; the query term set is broadcast, so scoring touches
+  * only postings of queried terms (never the corpus × queries); the
+  * per-(query, doc) score is a deterministic sorted fold so any engine
+  * reproduces it bit-for-bit. `maxDfFraction` drops corpus-saturating
+  * terms (stopwords): a term in k documents contributes k postings per
+  * querying query — the same guard as Dedup.jaccardPairs' shingle DF
+  * cap, and their BM25 idf is near zero anyway.
+  */
+object TextSearch {
+
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Lucene-variant BM25: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
+    * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * `docs` is (doc_id, text); `queries` is (query_id, terms:
+    * array<string>) — pre-tokenized so callers control query parsing.
+    * Returns top `k` docs per query as (query_id, doc_id, score, rank).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.5): DataFrame = {
+    val d = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val dl = d.select(col("doc_id"), size(col("w")).as("dl"))
+    // exact-decimal mean so every engine computes the identical avgdl
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (decSum(col("dl").cast("double")) / count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val qTerms = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("term"))
+
+    // idf once per term, stopword cap applied BEFORE the postings join so
+    // saturating terms never fan out into the score stream
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val terms = dfreq.crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <= lit(maxDfFraction) * col("n_docs"))
+      .select(col("term"), idf.as("idf"), col("avgdl"))
+
+    // (k1 + 1) is summed at RUNTIME on both engines — a Scala-constant
+    // 2.2 and a SQL-parsed `1.2 + 1` can differ in the last ulp
+    val denom = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val termScore = (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) / denom).as("s")
+
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(terms, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("term"), termScore)
+
+    // deterministic summation: fold term scores in term order (terms are
+    // unique per (query, doc)), the same left-to-right double chain the
+    // SQL oracle spells with list_reduce over an ordered list
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -45,4 +45,12 @@ class PairPlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  "TextSearch.bm25TopK" should "join postings on the term key, not a cartesian" in {
+    val queries = Seq((1L, Seq("p1w1", "p2w2"))).toDF("query_id", "terms")
+    // the single intentional 1-row corpus-stats crossJoin is a
+    // BroadcastNestedLoopJoin of cardinality 1 — exclude cartesians only
+    val p = plan(graft.text.TextSearch.bm25TopK(docs, queries, k = 3))
+    p should not include "CartesianProduct"
+  }
 }

@@ -22,6 +22,38 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") =!= col("split2")).count() shouldBe 0
   }
 
+  "sequencePacks" should "equal the global cumulative sum and never use a corpus-wide window" in {
+    val sized = (0L until 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("doc_id", "n")
+    val packs = Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 100L,
+      rangeWidth = 64).cache()
+
+    // oracle: single global exclusive cumsum (what the two-level prefix
+    // sum must reproduce exactly)
+    val rows = sized.orderBy("doc_id").as[(Long, Int)].collect()
+    var acc = 0L
+    val expected = rows.map { case (id, n) =>
+      val s = acc; acc += n; id -> ((s, s / 100L))
+    }.toMap
+    packs.select("doc_id", "start", "pack_id").as[(Long, Long, Long)].collect()
+      .foreach { case (id, start, pack) => (start, pack) shouldBe expected(id) }
+
+    // packs are contiguous in id order and every pack except the last
+    // reaches the budget (boundary docs may straddle)
+    packs.count() shouldBe 1000L
+    val maxPack = packs.agg(max("pack_id")).as[Long].head()
+    maxPack should be > 0L
+
+    // scale shape: the only unpartitioned window runs over the tiny
+    // per-range table, never the corpus — the corpus-side window must be
+    // partitioned (by rng)
+    val plan = packs.queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    windows.nonEmpty shouldBe true
+    // every window ordered by doc_id must be partitioned by rng; a
+    // doc_id window without a partition key is the corpus-wide funnel
+    windows.filter(_.contains("doc_id")).foreach(w => w should include("rng"))
+  }
+
   "stratifiedSample" should "keep strata at their rates and drop unlisted strata" in {
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.25)).cache()

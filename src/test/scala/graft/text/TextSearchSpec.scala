@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "quantum physics of black holes and the event horizon"),
+    (2L, "gardening tips the best soil for tomato plants"),
+    (3L, "black holes emit hawking radiation says quantum theory"),
+    (4L, "the the the the the the the the common words only"),
+    (5L, "tomato soup recipe with garden tomato and basil"))
+    .toDF("doc_id", "text")
+
+  "bm25TopK" should "rank term-matching docs first with positive scores" in {
+    val queries = Seq((100L, Seq("quantum", "holes"))).toDF("query_id", "terms")
+    val hits = search(queries, k = 3)
+    val ranked = hits.orderBy("rank").select("doc_id").as[Long].collect()
+    // docs 1 and 3 contain both terms; doc 4/2/5 contain neither
+    ranked.toSet shouldBe Set(1L, 3L)
+    hits.filter(col("score") <= 0).count() shouldBe 0
+  }
+
+  it should "cap stopwords by document frequency" in {
+    // "the" appears in 4 of 5 docs (df > 0.5 * n) — it must not retrieve
+    val queries = Seq((100L, Seq("the"))).toDF("query_id", "terms")
+    search(queries, k = 5).count() shouldBe 0
+  }
+
+  it should "respect k and produce dense ranks per query" in {
+    val queries = Seq((1L, Seq("tomato", "black")), (2L, Seq("soil", "radiation")))
+      .toDF("query_id", "terms")
+    val hits = search(queries, k = 2).cache()
+    hits.groupBy("query_id").count().as[(Long, Long)].collect()
+      .foreach(_._2 should be <= 2L)
+    hits.select("rank").as[Int].collect().foreach(_ should be >= 1)
+  }
+
+  private def search(queries: org.apache.spark.sql.DataFrame, k: Int) =
+    TextSearch.bm25TopK(docs, queries, k = k)
+}
