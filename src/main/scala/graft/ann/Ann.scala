@@ -169,6 +169,29 @@ object Ann {
       .select(col("vec_id"), col("e"), col("cell"))
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * 4× storage/bandwidth compressor an embedding store runs before
+    * indexing: per-vector scale = maxabs/127, code_i = round(v_i·127 /
+    * maxabs) ∈ [−127, 127], reconstruction v̂_i = code_i·scale with
+    * per-component error ≤ scale/2. Zero vectors quantize to zero codes
+    * with scale 0. Entirely map-side.
+    *
+    * The per-vector maxabs is PROJECTED before the code transform — a
+    * lambda capturing the `array_max(transform(…))` expression inline
+    * would re-reduce the whole vector once per component (O(dim²) per
+    * row, see TextAnalysis.wordTrigrams).
+    */
+  def quantizeInt8(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("_e", toD(col(embCol)))
+      .withColumn("_maxabs", array_max(transform(col("_e"), x => abs(x))))
+      .withColumn("codes", when(col("_maxabs") > 0,
+          transform(col("_e"), x => round(x * lit(127.0) / col("_maxabs")).cast("int")))
+        .otherwise(transform(col("_e"), _ => lit(0))))
+      .withColumn("scale", when(col("_maxabs") > 0, col("_maxabs") / 127.0)
+        .otherwise(lit(0.0)))
+      .drop("_e", "_maxabs")
+
   /** IVF search: route each query to its `nprobe` nearest centroid cells,
     * then exact top-k within those cells only. The fine search shuffles on
     * the cell key; with C cells it scans ~nprobe/C of the corpus per

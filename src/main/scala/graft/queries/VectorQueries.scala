@@ -198,6 +198,27 @@ object VectorQueries {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** int8 scalar quantization (Ann.quantizeInt8), exploded to
+    * (vec_id, dim, code) + per-vector scale so the compare is
+    * scalar-typed. Both engines round half away from zero on doubles, so
+    * codes are hash-exact; scale is rounded as a guard only.
+    */
+  val int8Quantize: Q = Q(
+    "v8_int8_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |m AS (SELECT vec_id, ev,
+      |        list_max(list_transform(ev, x -> abs(x))) AS maxabs FROM e)
+      |SELECT vec_id, CAST(dim - 1 AS INT) AS dim,
+      |  CAST(CASE WHEN maxabs > 0 THEN round(ev[dim] * 127.0 / maxabs) ELSE 0 END AS INT) AS code,
+      |  round(CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0.0 END, 6) AS scale
+      |FROM (SELECT vec_id, ev, maxabs, generate_subscripts(ev, 1) AS dim
+      |      FROM m)""".stripMargin) { (s, dir) =>
+    Ann.quantizeInt8(emb(s, dir))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        posexplode(col("codes")).as(Seq("dim", "code")))
+      .select(col("vec_id"), col("dim"), col("code"), col("scale"))
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
-    kmeansCells, ivfNprobe)
+    kmeansCells, ivfNprobe, int8Quantize)
 }

@@ -67,6 +67,24 @@ class AnnSpec extends SparkSpec {
     Ann.ivfSearch(corpus, "label", query, k = 10, nprobe = 2).count() shouldBe 4L
   }
 
+  "quantizeInt8" should "bound reconstruction error by scale/2 and handle zero vectors" in {
+    val q = Ann.quantizeInt8(emb).cache()
+    q.count() shouldBe emb.count()
+    // codes in [-127, 127]; |v - code*scale| <= scale/2 per component
+    val bad = q.select(col("vec_id"), col("scale"),
+        graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"), col("codes"))
+      .select(explode(arrays_zip(col("e"), col("codes"))).as("z"), col("scale"))
+      .select(col("z.e").as("v"), col("z.codes").as("c"), col("scale"))
+      .filter(abs(col("c")) > 127 ||
+        abs(col("v") - col("c") * col("scale")) > col("scale") / 2 + 1e-12)
+    bad.count() shouldBe 0
+
+    val zero = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Ann.quantizeInt8(zero).head()
+    zq.getAs[Seq[Int]]("codes") shouldBe Seq(0, 0, 0)
+    zq.getAs[Double]("scale") shouldBe 0.0
+  }
+
   "hyperplane_code" should "be registered as a SQL function via GraftExtensions" in {
     graft.GraftExtensions.register(spark)
     val viaSql = spark.sql(
