@@ -200,16 +200,19 @@ object Dedup {
       // doc_id and labels only ever hold doc_ids, so the lookup is total)
       val jump = labels
         .select(col("doc_id").as("label"), col("label").as("plabel"))
+      // the changed flag rides along in the checkpointed projection, so
+      // convergence detection is a filter-count over materialized rows —
+      // no extra join against the previous labels
       val next = labels.join(prop, Seq("doc_id"), "left")
         .join(jump, Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
-            coalesce(col("plabel"), col("label"))).as("label"))
+            coalesce(col("plabel"), col("label"))).as("nextLabel"),
+          col("label").as("prevLabel"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+      labels = next.select(col("doc_id"), col("nextLabel").as("label"))
       iter += 1
     }
     if (changed > 0) throw new IllegalStateException(

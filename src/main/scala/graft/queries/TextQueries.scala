@@ -703,11 +703,43 @@ object TextQueries {
         col("rank"))
   }
 
+  /** PII scrubbing (TextAnalysis.redactPii): the testdata corpus carries
+    * no PII, so every 7th doc gets a deterministic planted email + long
+    * number IN THE QUERY (identically on both engines) — the redactor
+    * must find exactly those and leave other docs untouched. The cleaned
+    * text is compared by md5 so the result stays scalar-typed.
+    */
+  val piiRedact: Q = Q(
+    "x15_pii_redact",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(planted, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(planted, '${TextAnalysis.longNumberPattern}')) AS INT) AS n_numbers,
+       |  md5(regexp_replace(
+       |        regexp_replace(planted, '${TextAnalysis.emailPattern}', '[EMAIL]', 'g'),
+       |        '${TextAnalysis.longNumberPattern}', '[NUM]', 'g')) AS clean_md5
+       |FROM (SELECT doc_id,
+       |        CASE WHEN doc_id % 7 = 0
+       |          THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |               '@example.com or ref 1234567890'
+       |          ELSE text END AS planted
+       |      FROM documents)""".stripMargin) { (s, dir) =>
+    val planted = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or ref 1234567890")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("planted"))
+      .select(col("doc_id"),
+        TextAnalysis.emailCount(col("planted")).as("n_emails"),
+        TextAnalysis.longNumberCount(col("planted")).as("n_numbers"),
+        md5(TextAnalysis.redactPii(col("planted"))).as("clean_md5"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     ngramJaccardPairs, dedupClusters, embeddingNearDups, langId, qualityScore,
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, repetition, bm25)
+    sequencePacking, repetition, bm25, piiRedact)
 }

@@ -116,6 +116,27 @@ object TextAnalysis {
     }).otherwise(array().cast("array<string>"))
   }
 
+  /** PII scrubbing patterns — email addresses and long digit runs (ids,
+    * phone fragments). Both use constructs shared by Java regex and RE2,
+    * so a SQL oracle replays them identically.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val longNumberPattern = "[0-9]{6,}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def longNumberCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(longNumberPattern), lit(0)))
+
+  /** Redact emails then long digit runs — the standard pre-training PII
+    * scrub, map-side. Order matters: the email local part may contain
+    * digits that the number pass would otherwise split.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      longNumberPattern, "[NUM]")
+
   /** Intra-document repetition ratio: 1 − distinct/total word trigrams —
     * the Gopher-style "repetitious document" quality signal (templated or
     * looping text scores high; a doc under 3 words scores 0). Entirely
