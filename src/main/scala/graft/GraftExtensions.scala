@@ -39,7 +39,43 @@ object GraftExtensions {
           new HyperplaneCodeExpression(children.head,
             intLit(children(1), "dim"), intLit(children(2), "bits"),
             intLit(children(3), "table"))
+        }),
+      // the vector fold kernels, exposed to SQL by parsing the identical
+      // fold text and splicing the call's children in for the named
+      // placeholders (a Column built via the DataFrame API wraps as a
+      // lazy ColumnNodeExpression that the function-registry path never
+      // resolves, so the catalyst parser is the right door here); the
+      // analyzer then resolves the higher-order lambdas like any SQL
+      (
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo("graft.functions.VectorOps", "graft_cosine"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "graft_cosine(a array<double>, b array<double>)")
+          val (na, nb) = (normSql("__a"), normSql("__b"))
+          parsedKernel(
+            s"""CASE WHEN $na * $nb = 0.0D THEN 0.0D
+               |ELSE aggregate(zip_with(__a, __b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
+               |  / ($na * $nb) END""".stripMargin,
+            Map("__a" -> children(0), "__b" -> children(1)))
+        }),
+      (
+        FunctionIdentifier("graft_l2_norm"),
+        new ExpressionInfo("graft.functions.VectorOps", "graft_l2_norm"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_l2_norm(a array<double>)")
+          parsedKernel(normSql("__a"), Map("__a" -> children.head))
         }))
+
+  /** Same fold text as VectorOps.l2Norm (sum of squares, left fold). */
+  private def normSql(arr: String): String =
+    s"sqrt(aggregate($arr, 0.0D, (acc, x) -> acc + x * x))"
+
+  private def parsedKernel(sql: String, subst: Map[String, Expression]): Expression =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if subst.contains(a.name) => subst(a.name)
+      }
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -95,6 +95,19 @@ class AnnSpec extends SparkSpec {
     viaSql shouldBe viaColumn
   }
 
+  "graft_cosine / graft_l2_norm" should "be SQL-callable and match the Column API" in {
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)) AS c, " +
+        "graft_l2_norm(array(3.0d, 4.0d)) AS n").head()
+    val viaColumn = spark.range(1).select(
+      graft.functions.VectorOps.cosine(
+        array(lit(1.0), lit(2.0), lit(3.0)), array(lit(3.0), lit(2.0), lit(1.0))).as("c"),
+      graft.functions.VectorOps.l2Norm(array(lit(3.0), lit(4.0))).as("n")).head()
+    viaSql.getDouble(0) shouldBe viaColumn.getDouble(0)
+    viaSql.getDouble(1) shouldBe 5.0
+  }
+
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
     val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
     cells.count() shouldBe emb.count()
