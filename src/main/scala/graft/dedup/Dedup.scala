@@ -81,6 +81,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup detection: candidates of a NEW batch against
+    * the STANDING corpus's signature index — the operational shape of
+    * dedup at 100 TB, where each data drop is checked against an
+    * already-materialized signature table instead of re-signing and
+    * re-pairing the whole corpus. Bands both sides, joins new × corpus
+    * on the band hash (shuffle keyed on bands, proportional to the NEW
+    * batch + matching corpus buckets, never corpus²), estimates
+    * similarity by matching-signature fraction. Returns
+    * (new_id, corpus_id, est_sim).
+    */
+  def incrementalMinhashCandidates(newSigs: DataFrame, corpusSigs: DataFrame,
+      numPerms: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(numPerms % bandSize == 0, "numPerms must divide into bands")
+    def banded(df: DataFrame): DataFrame = {
+      val bands = (1 to numPerms).grouped(bandSize).toSeq
+        .map(g => md5(concat(g.map(h => col(s"sig$h")): _*)))
+      df.withColumn("band", explode(array(bands: _*)))
+    }
+    val matches = (1 to numPerms)
+      .map(h => when(col(s"n.sig$h") === col(s"c.sig$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    banded(newSigs).alias("n")
+      .join(banded(corpusSigs).alias("c"), col("n.band") === col("c.band"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"),
+        (matches / numPerms.toDouble).as("est_sim"))
+      .distinct()
+  }
+
   /** SimHash over word hashes: `bits`-wide signature where bit b is the
     * sign of the per-word vote sum — near-dups differ in few bits. One
     * fully map-side-combinable aggregation. 64-bit by default: with

@@ -100,6 +100,50 @@ object TextQueries {
     }
   }
 
+  /** Incremental near-dup detection (Dedup.incrementalMinhashCandidates):
+    * a NEW data drop (odd docs + planted near-dup copies of every 10th
+    * doc) banded against the STANDING corpus's signature index (even
+    * docs) — the operational dedup shape at scale: the corpus signatures
+    * are materialized once, each drop joins against them on band hashes.
+    */
+  val incrementalMinhash: Q = Q(
+    "d9_incremental_minhash",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |newdocs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'xx ' || text AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |csigs AS (
+       |  SELECT doc_id, $sigSelectSql
+       |  FROM (SELECT doc_id, md5(shingle) AS m FROM (${shinglesSql.replace("__CORPUS__", "corpus")}))
+       |  GROUP BY doc_id),
+       |nsigs AS (
+       |  SELECT doc_id, $sigSelectSql
+       |  FROM (SELECT doc_id, md5(shingle) AS m FROM (${shinglesSql.replace("__CORPUS__", "newdocs")}))
+       |  GROUP BY doc_id),
+       |cb AS (SELECT doc_id, ${(1 to numPerms).map(h => s"sig$h").mkString(", ")},
+       |         unnest([${(1 to numPerms).grouped(2).map(g => s"md5(${g.map(h => s"sig$h").mkString(" || ")})").mkString(", ")}]) AS band
+       |       FROM csigs),
+       |nb AS (SELECT doc_id, ${(1 to numPerms).map(h => s"sig$h").mkString(", ")},
+       |         unnest([${(1 to numPerms).grouped(2).map(g => s"md5(${g.map(h => s"sig$h").mkString(" || ")})").mkString(", ")}]) AS band
+       |       FROM nsigs),
+       |pairs AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       |    round((${(1 to numPerms).map(h => s"CASE WHEN n.sig$h = c.sig$h THEN 1 ELSE 0 END").mkString(" + ")}) / $numPerms.0, 6) AS est_sim
+       |  FROM nb n JOIN cb c ON n.band = c.band)
+       |SELECT new_id, corpus_id, est_sim FROM pairs""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val standing = d.filter(col("doc_id") % 2 === 0)
+    val fresh = d.filter(col("doc_id") % 2 === 1).unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text")))
+    Dedup.incrementalMinhashCandidates(
+      Dedup.minhashSignatures(fresh), Dedup.minhashSignatures(standing))
+      .select(col("new_id"), col("corpus_id"), round(col("est_sim"), 6).as("est_sim"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   private def simhashNibbleSql(k: Int): String =
@@ -741,5 +785,5 @@ object TextQueries {
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, repetition, bm25, piiRedact)
+    sequencePacking, repetition, bm25, piiRedact, incrementalMinhash)
 }

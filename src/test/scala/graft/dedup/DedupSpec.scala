@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
     pairs should contain((3L, 100L)) // identical text → Hamming 0
   }
 
+  "incrementalMinhashCandidates" should "pair a new drop against the corpus only" in {
+    val corpus = docs
+    // doc 200 is a near-dup of corpus doc 3; docs 201/202 are identical
+    // to each other but unrelated to the corpus
+    val fresh = Seq(
+      (200L, docs.filter(col("doc_id") === 3L).select("text").as[String].head() + " extra"),
+      (201L, "totally unrelated payload alpha beta gamma delta epsilon zeta"),
+      (202L, "totally unrelated payload alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashCandidates(
+      Dedup.minhashSignatures(fresh), Dedup.minhashSignatures(corpus)).cache()
+    pairs.filter(col("new_id") === 200L && col("corpus_id") === 3L).count() shouldBe 1L
+    // new x new pairs are never emitted — that's the standing corpus's job
+    pairs.filter(col("corpus_id") >= 200L).count() shouldBe 0L
+  }
+
   "clusters" should "resolve chains, triangles and islands to component minima" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 20L))
       .toDF("doc1", "doc2")
