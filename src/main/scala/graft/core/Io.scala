@@ -44,9 +44,50 @@ object Io {
         */
       targetFiles: Int = 0)
 
+  /** Formats that cannot self-describe: reads fall back to the schema
+    * sidecar, writes emit one.
+    */
+  private def schemaless(format: String): Boolean =
+    format == "json" || format == "csv" || format == "text"
+
+  private def sidecarPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")
+
+  /** Persist the DataFrame's schema next to a json/csv dataset so a
+    * later read needs NO inference pass (underscore-prefixed files are
+    * invisible to Spark's file listing, like _SUCCESS). At 100 TB an
+    * inferred read of an intermediate is a full extra scan; the sidecar
+    * makes `write json → read json` as cheap as parquet schema-wise.
+    */
+  private def writeSchemaSidecar(df: DataFrame, dir: String): Unit = {
+    val p = sidecarPath(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSchemaSidecar(spark: SparkSession, dir: String): Option[StructType] = {
+    val p = sidecarPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
   def read(spark: SparkSession, spec: ReadSpec): DataFrame = {
     val reader = spark.read.format(spec.format).options(spec.options)
-    val withSchema = spec.schema.fold(reader)(reader.schema)
+    val schema = spec.schema.orElse(
+      if (schemaless(spec.format)) readSchemaSidecar(spark, spec.path) else None)
+    val withSchema = schema.fold(reader)(reader.schema)
     val df = withSchema.load(spec.path)
     if (spec.withProvenance) df.withColumn("trace_source", input_file_name()) else df
   }
@@ -68,6 +109,7 @@ object Io {
     val w = sized.write.mode(spec.mode).options(opts)
     val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
     p.format(spec.format).save(spec.path)
+    if (schemaless(spec.format)) writeSchemaSidecar(df, spec.path)
   }
 
   /** Bucketed table spec: pre-shuffling a fact table into `numBuckets` by

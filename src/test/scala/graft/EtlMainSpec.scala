@@ -122,6 +122,31 @@ class EtlMainSpec extends SparkSpec {
     spark.read.parquet(s"$out/matches").count() shouldBe 9
   }
 
+  it should "run the pipeline with json outputs (reference default) schema-exactly" in {
+    val in = Files.createTempDirectory("graft-json-in").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft-json-out").toFile.getAbsolutePath + "/run"
+
+    Fixtures.epmc(spark).write.mode("overwrite").json(s"$in/epmc")
+    Fixtures.epmcIds(spark).write.mode("overwrite").option("header", "true").csv(s"$in/ids")
+    Fixtures.targets(spark).write.mode("overwrite").parquet(s"$in/targets")
+    Fixtures.diseases(spark).write.mode("overwrite").parquet(s"$in/diseases")
+    Fixtures.drugs(spark).write.mode("overwrite").parquet(s"$in/drugs")
+
+    val cfg = EtlConfig.load(None,
+      Map("epmc" -> s"$in/epmc", "epmcids" -> s"$in/ids", "targets" -> s"$in/targets",
+        "diseases" -> s"$in/diseases", "drugs" -> s"$in/drugs",
+        "format" -> "json", "w2v.vectorSize" -> "8", "w2v.maxIter" -> "1",
+        "out" -> out))
+    // the reference's common.output-format default is json
+    // (reference.conf:22); step-to-step read-back must not pay a schema
+    // inference pass — Io's sidecar carries the written schema
+    EtlMain.validateSteps(Seq("processing", "embedding"))
+      .foreach(EtlMain.run(_, cfg, spark))
+    spark.read.json(s"$out/matches").count() shouldBe 9
+    new java.io.File(s"$out/matches/_graft_schema.json").exists() shouldBe true
+    spark.read.json(s"$out/trainingSet").count() should be > 0L
+  }
+
   it should "fail fast on unexpected YAML lists and unknown output keys" in {
     val badList = Files.createTempFile("graft-bad", ".yaml")
     Files.write(badList, "out: /tmp/x\ninputs:\n  epmc: [a, b]\n".getBytes("UTF-8"))

@@ -25,6 +25,33 @@ class IoSpec extends SparkSpec {
     pruned.queryExecution.executedPlan.toString() should include("PartitionFilters: [isnotnull(k")
   }
 
+  it should "round-trip JSON schema-exactly via the sidecar, with no inference job" in {
+    val dir = tmp() + "/json-sidecar"
+    // int + timestamp: inference would widen the int to bigint and parse
+    // the timestamp per JSON option defaults — the sidecar must preserve
+    // the written schema exactly
+    val df = Seq((1, "2021-03-04 05:06:07", "x"), (2, "2022-01-01 00:00:00", "y"))
+      .toDF("n", "ts", "s")
+      .select(col("n"), col("ts").cast("timestamp").as("ts"), col("s"))
+    Io.write(df, Io.WriteSpec("json", dir))
+
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    val back = Io.read(spark, Io.ReadSpec("json", dir))
+    tracker.getJobIdsForGroup(null).length shouldBe jobsBefore // no inference pass
+    // names + types survive exactly (file reads force nullable, so
+    // nullability is not part of the claim); inference would have
+    // widened n to bigint and left ts a string
+    back.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+      df.schema.fields.map(f => (f.name, f.dataType))
+    back.count() shouldBe 2
+    back.filter(col("n") === 1).select("s").as[String].head() shouldBe "x"
+    // an explicit ReadSpec schema still wins over the sidecar
+    val narrowed = Io.read(spark, Io.ReadSpec("json", dir,
+      schema = Some(StructType(Seq(StructField("s", StringType))))))
+    narrowed.schema.fieldNames shouldBe Array("s")
+  }
+
   it should "round-trip ORC through the same generic read/write specs" in {
     val dir = tmp() + "/orc"
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
