@@ -52,6 +52,18 @@ class IoSpec extends SparkSpec {
     narrowed.schema.fieldNames shouldBe Array("s")
   }
 
+  it should "round-trip PARTITIONED json via the sidecar (partition columns from dirs)" in {
+    val dir = tmp() + "/json-part"
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)).toDF("id", "k", "v")
+    Io.write(df, Io.WriteSpec("json", dir, partitionBy = Seq("k")))
+    val back = Io.read(spark, Io.ReadSpec("json", dir))
+    back.count() shouldBe 3
+    back.schema.fieldNames.toSet shouldBe Set("id", "k", "v")
+    back.filter(col("k") === "a").select(org.apache.spark.sql.functions.sum("v"))
+      .as[Double].head() shouldBe 40.0
+    back.schema("id").dataType shouldBe IntegerType // inference would say bigint
+  }
+
   it should "round-trip ORC through the same generic read/write specs" in {
     val dir = tmp() + "/orc"
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
