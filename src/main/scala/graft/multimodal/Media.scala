@@ -81,6 +81,21 @@ object Media {
     }
   }
 
+  /** Resize planning: target dimensions preserving aspect ratio, never
+    * upscaling — the metadata half of image resize, pure codegen'd
+    * arithmetic over the decoded (width, height). The pixel transform
+    * itself belongs to the Decoder implementation (stubbed here — no
+    * codecs in this container); a pipeline partitions/batches on these
+    * planned dimensions before the expensive pixel pass.
+    */
+  def resizePlan(decoded: DataFrame, maxDim: Int = 224): DataFrame =
+    decoded
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim.toDouble) /
+          greatest(col("width"), col("height")).cast("double")))
+      .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
+
   /** Frame sampling: fixed-stride byte windows standing in for video frame
     * extraction — explode is map-side; downstream only sees
     * (id, frame_no, frame hash).

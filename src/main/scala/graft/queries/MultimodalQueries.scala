@@ -53,5 +53,36 @@ object MultimodalQueries {
         md5(col("text").substr(lit(1) + (col("i") - 1) * 64, lit(64)).cast("binary")).as("chunk_md5"))
   }
 
-  val all: Seq[Q] = Seq(blobMeta, blobChunks)
+  /** Resize planning over the REAL decode path (Media.payloads →
+    * per-partition extractFeatures with the stub decoder → resizePlan):
+    * target dims preserve aspect ratio and never upscale. The oracle
+    * replays the stub's deterministic dimension formula and the identical
+    * resize arithmetic, so the whole mapPartitions plumbing is
+    * driver-checked, not just spec'd.
+    */
+  val resizePlan: Q = Q(
+    "m3_resize_plan",
+    """SELECT doc_id, media_type, width, height, round(scale, 6) AS scale,
+      |  CAST(ceil(width * scale) AS INT) AS out_width,
+      |  CAST(ceil(height * scale) AS INT) AS out_height
+      |FROM (SELECT doc_id, media_type, width, height,
+      |        least(1.0, 32.0 / greatest(width, height)) AS scale
+      |      FROM (SELECT doc_id,
+      |              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |                   ELSE 'video/mp4' END AS media_type,
+      |              1 + length(text) % 64 AS width,
+      |              1 + length(text) % 48 AS height
+      |            FROM documents))""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val rows = graft.multimodal.Media.payloads(t(s, dir, "documents"))
+      .as[graft.multimodal.MediaRow]
+    val decoded = graft.multimodal.Media
+      .extractFeatures(rows, graft.multimodal.Media.StubDecoder, s).toDF()
+    graft.multimodal.Media.resizePlan(decoded, maxDim = 32)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        round(col("scale"), 6).as("scale"), col("out_width"), col("out_height"))
+  }
+
+  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan)
 }

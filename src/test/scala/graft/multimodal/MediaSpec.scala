@@ -37,6 +37,28 @@ class MediaSpec extends SparkSpec {
       .as[Int].collect().toSeq) shouldBe 4
   }
 
+  "resizePlan" should "preserve aspect ratio and never upscale" in {
+    val decoded = Seq(
+      (1L, 64, 48),   // downscale, width-bound
+      (2L, 10, 20),   // under maxDim both ways: untouched
+      (3L, 16, 32))   // exactly at maxDim: untouched
+      .toDF("doc_id", "width", "height")
+    val planned = Media.resizePlan(decoded, maxDim = 32)
+      .select("doc_id", "scale", "out_width", "out_height")
+      .as[(Long, Double, Int, Int)].collect().map(r => r._1 -> r).toMap
+    planned(1L)._3 shouldBe 32 // 64 * 0.5
+    planned(1L)._4 shouldBe 24 // 48 * 0.5 — ratio preserved
+    planned(2L)._2 shouldBe 1.0
+    planned(2L)._3 shouldBe 10
+    planned(3L)._2 shouldBe 1.0
+    // no output dimension ever exceeds... (ceil can add at most 1 on
+    // non-exact scales; the max side is exact by construction)
+    planned.values.foreach { case (_, scale, w, h) =>
+      scale should be <= 1.0
+      math.max(w, h) should be <= 32
+    }
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
