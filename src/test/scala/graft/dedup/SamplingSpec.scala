@@ -54,6 +54,17 @@ class SamplingSpec extends SparkSpec {
     windows.filter(_.contains("doc_id")).foreach(w => w should include("rng"))
   }
 
+  it should "be invariant to rangeWidth (a pure performance knob)" in {
+    val sized = (0L until 500L).map(i => (i, (i % 13 + 1).toInt)).toDF("doc_id", "n")
+    def packMap(rw: Long) =
+      Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 64L, rangeWidth = rw)
+        .select("doc_id", "start", "pack_id").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = packMap(64L)
+    packMap(1L) shouldBe base       // one doc per range
+    packMap(1000000L) shouldBe base // whole corpus in one range
+  }
+
   "stratifiedSample" should "keep strata at their rates and drop unlisted strata" in {
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.25)).cache()
