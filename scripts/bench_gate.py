@@ -36,6 +36,8 @@ def main():
     rerun_cmd = None
     if "--rerun-cmd" in args:
         i = args.index("--rerun-cmd")
+        if i + 1 >= len(args):
+            sys.exit("bench_gate: --rerun-cmd requires a command argument")
         rerun_cmd = args[i + 1]
         del args[i : i + 2]
 
@@ -64,7 +66,16 @@ def main():
         out = subprocess.run(
             rerun_cmd, shell=True, capture_output=True, text=True
         ).stdout.strip().splitlines()
-        rerun = json.loads(out[-1]) if out else {"queries": {}}
+        # a non-JSON last line (a log message, an empty run) must degrade
+        # to "nothing cleared", not crash the gate mid-decision
+        try:
+            rerun = json.loads(out[-1]) if out else {"queries": {}}
+        except ValueError:
+            print("  re-run produced no parseable bench JSON; "
+                  "keeping original measurements")
+            rerun = {"queries": {}}
+        if "queries" not in rerun:
+            rerun = {"queries": {}}
         confirmed = []
         for name in slow:
             r = rerun["queries"].get(name)
@@ -77,9 +88,10 @@ def main():
                       f"({cur['queries'][name]:.2f}s -> {r:.2f}s)")
         slow = confirmed
 
+    confirmed_label = "confirmed by re-run" if rerun_cmd else "no re-run performed"
     for name in slow:
         fails.append(f"{name}: {cur['queries'][name]:.2f}s vs baseline "
-                     f"{base['queries'][name]:.2f}s (>2x, confirmed)")
+                     f"{base['queries'][name]:.2f}s (>2x, {confirmed_label})")
     fails.extend(errored)
 
     print(f"bench gate: {len(cur['queries'])} queries, "

@@ -45,7 +45,13 @@ object EtlMain {
       "usage: EtlMain <step> [<step>...] [config=file.yaml] key=value...")
     val steps = validateSteps(stepArgs.toSeq)
     val opts = optArgs.map { a =>
-      val Array(k, v) = a.split("=", 2); k -> v
+      a.split("=", 2) match {
+        case Array(k, v) => k -> v
+        // a step name AFTER the first key=value lands here — say so,
+        // instead of a bare MatchError
+        case _ => sys.error(s"argument '$a' is not key=value — steps must " +
+          "come before all key=value arguments")
+      }
     }.toMap
     val cfg = EtlConfig.load(opts.get("config"), opts - "config")
     val spark = Sessions.builder(appName = s"graft-${steps.mkString("-")}").getOrCreate()

@@ -45,7 +45,11 @@ object GraftExtensions {
       // placeholders (a Column built via the DataFrame API wraps as a
       // lazy ColumnNodeExpression that the function-registry path never
       // resolves, so the catalyst parser is the right door here); the
-      // analyzer then resolves the higher-order lambdas like any SQL
+      // analyzer then resolves the higher-order lambdas like any SQL.
+      // Each argument subtree appears up to three times (guard, divisor,
+      // dot) — the same multiplicity as VectorOps.cosine in the Column
+      // API — so pass column references, not expensive or
+      // non-deterministic expressions
       (
         FunctionIdentifier("graft_cosine"),
         new ExpressionInfo("graft.functions.VectorOps", "graft_cosine"),

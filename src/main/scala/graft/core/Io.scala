@@ -106,10 +106,19 @@ object Io {
       (if (spec.maxRecordsPerFile > 0)
         Map("maxRecordsPerFile" -> spec.maxRecordsPerFile.toString)
       else Map.empty)
+    // detect BEFORE save whether mode="ignore" will no-op, so a skipped
+    // write cannot replace the sidecar with a schema the on-disk data
+    // doesn't have (append intentionally refreshes it: json reads fill
+    // fields missing from older files with null, so the newest schema is
+    // the right one to advertise)
+    val ignored = spec.mode.equalsIgnoreCase("ignore") && {
+      val p = new org.apache.hadoop.fs.Path(spec.path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+    }
     val w = sized.write.mode(spec.mode).options(opts)
     val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
     p.format(spec.format).save(spec.path)
-    if (schemaless(spec.format)) writeSchemaSidecar(df, spec.path)
+    if (schemaless(spec.format) && !ignored) writeSchemaSidecar(df, spec.path)
   }
 
   /** Bucketed table spec: pre-shuffling a fact table into `numBuckets` by

@@ -56,18 +56,33 @@ object Sampling {
     * The prefix sum is the textbook two-level distributed form, NOT one
     * global window (`Window.orderBy(id)` funnels the corpus through a
     * single task — the classic 100 TB killer): per-range subtotals
-    * (one combinable shuffle on ~|corpus|/rangeWidth ranges), exclusive
-    * running offsets over that tiny range table (a driver-scale window),
+    * (one combinable shuffle on ≤ numRanges keys), exclusive running
+    * offsets over that tiny range table (a driver-scale window),
     * broadcast back, then a per-range window that parallelizes across
     * ranges. Identical values to the global cumsum, oracle-checked.
     *
-    * `idCol` must be numeric; `sizeCol` is the doc's token count.
+    * Range keys come from the observed id SPAN (one tiny min/max agg
+    * joined in-plan), not `id / fixedWidth` — with sparse ids (hashed /
+    * snowflake schemes) a fixed width degenerates to one range per
+    * document, which is the corpus-wide window again. The mapping
+    * id → range is monotone, so pack assignment is invariant to
+    * numRanges (SamplingSpec locks this).
+    *
+    * `idCol` must be numeric with unique values; `sizeCol` is the doc's
+    * token count.
     */
   def sequencePacks(df: DataFrame, idCol: String, sizeCol: Column,
-      budget: Long, rangeWidth: Long = 4096): DataFrame = {
-    require(budget > 0 && rangeWidth > 0, "budget and rangeWidth must be positive")
-    val toks = df.select(col(idCol), sizeCol.cast("long").as("tokens"),
-      floor(col(idCol) / rangeWidth).cast("long").as("rng"))
+      budget: Long, numRanges: Int = 4096): DataFrame = {
+    require(budget > 0 && numRanges > 0, "budget and numRanges must be positive")
+    val bounds = df.agg(
+      min(col(idCol)).cast("double").as("_lo"),
+      (max(col(idCol)).cast("double") - min(col(idCol)).cast("double") + 1).as("_span"))
+    val toks = df.select(col(idCol), sizeCol.cast("long").as("tokens"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("rng",
+        floor((col(idCol).cast("double") - col("_lo")) * numRanges / col("_span"))
+          .cast("long"))
+      .drop("_lo", "_span")
     val wr = Window.orderBy(col("rng"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = toks.groupBy(col("rng")).agg(sum(col("tokens")).as("rtot"))

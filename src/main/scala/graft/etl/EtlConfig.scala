@@ -70,8 +70,10 @@ final case class EtlConfig(
       case Some(ddl)     => Some(StructType.fromDDL(ddl))
       case None          => defaultSchema
     }
+    // merge, never replace: a single configured option (say a custom sep)
+    // must not silently drop load-bearing step defaults like header=true
     Io.ReadSpec(ic.format.getOrElse(defaultFormat), ic.path, schema,
-      if (ic.options.nonEmpty) ic.options else defaultOptions)
+      defaultOptions ++ ic.options)
   }
 
   /** WriteSpec for a named output dataset, shaped by its OutputConf. */

@@ -93,8 +93,14 @@ object Media {
       .withColumn("scale",
         least(lit(1.0), lit(maxDim.toDouble) /
           greatest(col("width"), col("height")).cast("double")))
-      .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
-      .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
+      // the least(maxDim) clamp is load-bearing: ceil(side * (maxDim /
+      // side)) can land one past maxDim when the IEEE product rounds up
+      // (293 * (224.0/293) = 224.00000000000003 → ceil 225); at scale=1
+      // both sides are already ≤ maxDim so the clamp never distorts
+      .withColumn("out_width",
+        least(ceil(col("width") * col("scale")), lit(maxDim.toLong)).cast("int"))
+      .withColumn("out_height",
+        least(ceil(col("height") * col("scale")), lit(maxDim.toLong)).cast("int"))
 
   /** Frame sampling: fixed-stride byte windows standing in for video frame
     * extraction — explode is map-side; downstream only sees

@@ -63,8 +63,8 @@ object MultimodalQueries {
   val resizePlan: Q = Q(
     "m3_resize_plan",
     """SELECT doc_id, media_type, width, height, round(scale, 6) AS scale,
-      |  CAST(ceil(width * scale) AS INT) AS out_width,
-      |  CAST(ceil(height * scale) AS INT) AS out_height
+      |  CAST(least(ceil(width * scale), 32) AS INT) AS out_width,
+      |  CAST(least(ceil(height * scale), 32) AS INT) AS out_height
       |FROM (SELECT doc_id, media_type, width, height,
       |        least(1.0, 32.0 / greatest(width, height)) AS scale
       |      FROM (SELECT doc_id,

@@ -663,7 +663,7 @@ object TextQueries {
       graft.dedup.Sampling.sequencePacks(
         t(s, dir, "documents"), "doc_id",
         graft.text.TextAnalysis.tokenCount(col("text")),
-        budget = budget, rangeWidth = 64)
+        budget = budget, numRanges = 16)
     }
   }
 

@@ -25,7 +25,7 @@ class SamplingSpec extends SparkSpec {
   "sequencePacks" should "equal the global cumulative sum and never use a corpus-wide window" in {
     val sized = (0L until 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("doc_id", "n")
     val packs = Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 100L,
-      rangeWidth = 64).cache()
+      numRanges = 16).cache()
 
     // oracle: single global exclusive cumsum (what the two-level prefix
     // sum must reproduce exactly)
@@ -54,15 +54,34 @@ class SamplingSpec extends SparkSpec {
     windows.filter(_.contains("doc_id")).foreach(w => w should include("rng"))
   }
 
-  it should "be invariant to rangeWidth (a pure performance knob)" in {
+  it should "be invariant to numRanges (a pure performance knob)" in {
     val sized = (0L until 500L).map(i => (i, (i % 13 + 1).toInt)).toDF("doc_id", "n")
-    def packMap(rw: Long) =
-      Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 64L, rangeWidth = rw)
+    def packMap(nr: Int) =
+      Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 64L, numRanges = nr)
         .select("doc_id", "start", "pack_id").as[(Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
-    val base = packMap(64L)
-    packMap(1L) shouldBe base       // one doc per range
-    packMap(1000000L) shouldBe base // whole corpus in one range
+    val base = packMap(64)
+    packMap(1) shouldBe base       // whole corpus in one range
+    packMap(1000000) shouldBe base // ~one doc per range
+  }
+
+  it should "keep the range table bounded for SPARSE ids" in {
+    // hashed/snowflake-style ids: a fixed id/width range key would give
+    // one range per doc (the corpus-wide window again); span-derived
+    // keys stay at <= numRanges regardless of density
+    val sparse = (0L until 400L).map(i => (i * 2654435761L + 12345L, 5))
+      .toDF("doc_id", "n")
+    val packs = Sampling.sequencePacks(sparse, "doc_id", col("n"),
+      budget = 50L, numRanges = 32)
+    packs.count() shouldBe 400L
+    // same values as the global cumsum in id order
+    val inOrder = sparse.orderBy("doc_id").as[(Long, Int)].collect()
+    var acc = 0L
+    val expected = inOrder.map { case (id, n) =>
+      val s = acc; acc += n; id -> ((s, s / 50L))
+    }.toMap
+    packs.select("doc_id", "start", "pack_id").as[(Long, Long, Long)].collect()
+      .foreach { case (id, start, pack) => (start, pack) shouldBe expected(id) }
   }
 
   "stratifiedSample" should "keep strata at their rates and drop unlisted strata" in {
