@@ -46,20 +46,23 @@ object GraftExtensions {
       // lazy ColumnNodeExpression that the function-registry path never
       // resolves, so the catalyst parser is the right door here); the
       // analyzer then resolves the higher-order lambdas like any SQL.
-      // Each argument subtree appears up to three times (guard, divisor,
-      // dot) — the same multiplicity as VectorOps.cosine in the Column
-      // API — so pass column references, not expensive or
-      // non-deterministic expressions
+      // The cosine kernel needs each vector in three places (guard,
+      // divisor, dot), so each argument is bound ONCE as a lambda
+      // variable — transform over a one-element struct array — and the
+      // kernel references the binding. A non-deterministic argument
+      // (e.g. built from rand()) therefore evaluates exactly once per
+      // row instead of independently per occurrence.
       (
         FunctionIdentifier("graft_cosine"),
         new ExpressionInfo("graft.functions.VectorOps", "graft_cosine"),
         (children: Seq[Expression]) => {
           require(children.length == 2, "graft_cosine(a array<double>, b array<double>)")
-          val (na, nb) = (normSql("__a"), normSql("__b"))
+          val (na, nb) = (normSql("__p.va"), normSql("__p.vb"))
           parsedKernel(
-            s"""CASE WHEN $na * $nb = 0.0D THEN 0.0D
-               |ELSE aggregate(zip_with(__a, __b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
-               |  / ($na * $nb) END""".stripMargin,
+            s"""element_at(transform(array(struct(__a AS va, __b AS vb)), __p ->
+               |CASE WHEN $na * $nb = 0.0D THEN 0.0D
+               |ELSE aggregate(zip_with(__p.va, __p.vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
+               |  / ($na * $nb) END), 1)""".stripMargin,
             Map("__a" -> children(0), "__b" -> children(1)))
         }),
       (

@@ -53,40 +53,112 @@ object Io {
   private def sidecarPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")
 
-  /** Persist the DataFrame's schema next to a json/csv dataset so a
-    * later read needs NO inference pass (underscore-prefixed files are
-    * invisible to Spark's file listing, like _SUCCESS). At 100 TB an
-    * inferred read of an intermediate is a full extra scan; the sidecar
-    * makes `write json → read json` as cheap as parquet schema-wise.
+  /** Sidecar contract (v1). `_graft_schema.json` next to a json/csv/text
+    * dataset is a versioned envelope:
+    *
+    * {{{
+    *   {"version": 1, "format": "csv",
+    *    "options": {"header": "true", "sep": "|"},
+    *    "schema": { ...Spark StructType JSON... }}
+    * }}}
+    *
+    *  - `schema` — applied on read when the caller gives none, so a
+    *    `write → read` round trip needs NO inference pass (at 100 TB an
+    *    inferred read of an intermediate is a full extra scan).
+    *  - `options` — the writer's format options, merged UNDER the
+    *    caller's read options. A csv written `header=true` and read back
+    *    bare would otherwise apply the sidecar schema while ingesting the
+    *    header line as a data row.
+    *  - `format` — guards drift: reading the directory as a different
+    *    format than it was written fails loudly.
+    *  - Version 0 (a bare StructType JSON, pre-envelope) is still read,
+    *    schema-only. A version above [[SidecarVersion]], or a sidecar
+    *    that fails to parse, is a loud error — never a silent fall-back
+    *    to inference, which would mask the drift with wrong columns.
+    *
+    * A MISSING sidecar is fine (None → caller schema or inference):
+    * underscore-prefixed files are invisible to Spark's listing, like
+    * _SUCCESS, so foreign datasets simply don't have one.
     */
-  private def writeSchemaSidecar(df: DataFrame, dir: String): Unit = {
-    val p = sidecarPath(dir)
+  private[core] final case class Sidecar(
+      schema: StructType,
+      options: Map[String, String] = Map.empty,
+      format: Option[String] = None)
+
+  private[core] val SidecarVersion = 1
+
+  private def writeSchemaSidecar(df: DataFrame, spec: WriteSpec): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", SidecarVersion)
+    root.put("format", spec.format)
+    val opts = root.putObject("options")
+    spec.options.foreach { case (k, v) => opts.put(k, v) }
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(df.schema.json))
+    val p = sidecarPath(spec.path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(mapper.writeValueAsString(root).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readSchemaSidecar(spark: SparkSession, dir: String): Option[StructType] = {
+  private[core] def readSchemaSidecar(spark: SparkSession, dir: String): Option[Sidecar] = {
     val p = sidecarPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[StructType])
-      } finally in.close()
+      val text =
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"corrupt sidecar $p — fix or delete it (silent schema inference would mask the drift)", e)
+        }
+      def struct(json: String): StructType =
+        try org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"sidecar $p holds an unreadable schema — fix or delete it", e)
+        }
+      if (root == null || !root.isObject) throw new IllegalStateException(
+        s"corrupt sidecar $p — fix or delete it")
+      else if (!root.has("version")) Some(Sidecar(struct(text))) // v0: bare schema
+      else {
+        val v = root.get("version").asInt()
+        if (v > SidecarVersion) throw new IllegalStateException(
+          s"sidecar $p has version $v but this build reads ≤ $SidecarVersion — " +
+            "upgrade the library or regenerate the dataset")
+        val opts = Option(root.get("options")).filter(_.isObject).map { o =>
+          val it = o.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+        Some(Sidecar(struct(root.get("schema").toString), opts,
+          Option(root.get("format")).map(_.asText())))
+      }
     }
   }
 
   def read(spark: SparkSession, spec: ReadSpec): DataFrame = {
-    val reader = spark.read.format(spec.format).options(spec.options)
-    val schema = spec.schema.orElse(
-      if (schemaless(spec.format)) readSchemaSidecar(spark, spec.path) else None)
+    val sidecar =
+      if (schemaless(spec.format)) readSchemaSidecar(spark, spec.path) else None
+    sidecar.flatMap(_.format).foreach { f =>
+      if (f != spec.format) throw new IllegalStateException(
+        s"${spec.path} was written as '$f' (per its sidecar) but is being read " +
+          s"as '${spec.format}' — fix the ReadSpec or regenerate the dataset")
+    }
+    // sidecar options are the writer's; the caller's read options win
+    val opts = sidecar.map(_.options).getOrElse(Map.empty) ++ spec.options
+    val reader = spark.read.format(spec.format).options(opts)
+    val schema = spec.schema.orElse(sidecar.map(_.schema))
     val withSchema = schema.fold(reader)(reader.schema)
     val df = withSchema.load(spec.path)
     if (spec.withProvenance) df.withColumn("trace_source", input_file_name()) else df
@@ -118,7 +190,7 @@ object Io {
     val w = sized.write.mode(spec.mode).options(opts)
     val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
     p.format(spec.format).save(spec.path)
-    if (schemaless(spec.format) && !ignored) writeSchemaSidecar(df, spec.path)
+    if (schemaless(spec.format) && !ignored) writeSchemaSidecar(df, spec)
   }
 
   /** Bucketed table spec: pre-shuffling a fact table into `numBuckets` by

@@ -211,6 +211,9 @@ object Dedup {
     * path graph).
     */
   def clustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    // changed starts at 1 so the loop runs at least once; maxIter <= 0
+    // would skip the loop entirely and mis-report as non-convergence
+    require(maxIter > 0, s"clusters() needs maxIter > 0, got $maxIter")
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()

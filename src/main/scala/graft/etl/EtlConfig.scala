@@ -100,8 +100,22 @@ object EtlConfig {
     val normalized = overrides.map { case (k, v) =>
       (if (legacyInputKeys(k)) s"inputs.$k" else k) -> v
     }
-    build(fileKv ++ normalized, fileRanks)
+    // normalize the bare-scalar form BEFORE layering: a YAML file's
+    // `inputs.<n>: path` and a CLI `inputs.<n>.path=...` must collide on
+    // the same key so the CLI layer actually overrides (otherwise the
+    // scalar survives the merge and silently wins in inputConfs)
+    build(normalizeScalarInputs(fileKv) ++ normalizeScalarInputs(normalized), fileRanks)
   }
+
+  /** Rewrite legacy bare scalars `inputs.<name>=path` to the structured
+    * `inputs.<name>.path=path` so file/CLI layering happens on one key.
+    */
+  private def normalizeScalarInputs(kv: Map[String, String]): Map[String, String] =
+    kv.map { case (k, v) =>
+      val isBareInput =
+        k.startsWith("inputs.") && !k.stripPrefix("inputs.").contains('.')
+      (if (isBareInput) s"$k.path" else k) -> v
+    }
 
   /** YAML → (dotted scalar keys, structured sectionRanks). Kept separate
     * from build() so tests can exercise the parse in isolation.
@@ -155,6 +169,11 @@ object EtlConfig {
       val known = sub.keys.filter(k =>
         k != "path" && k != "format" && k != "schema" && !k.startsWith("options."))
       require(known.isEmpty, s"unknown config keys under inputs.$n: ${known.mkString(", ")}")
+      // load() normalizes bare scalars to .path before layering; if both
+      // forms still reach here the precedence is ambiguous — fail fast
+      // rather than let one silently shadow the other
+      require(!(entries.contains(n) && sub.contains("path")),
+        s"inputs.$n declared both as a bare scalar and as inputs.$n.path — use one form")
       val path = entries.get(n).orElse(sub.get("path")).getOrElse(
         sys.error(s"inputs.$n needs a path (inputs.$n= or inputs.$n.path=)"))
       n -> InputConf(

@@ -164,6 +164,22 @@ class EtlMainSpec extends SparkSpec {
     e2.getMessage should include("targetfiles")
   }
 
+  it should "let a CLI inputs.<n>.path override a YAML bare-scalar input" in {
+    // the two spellings are one key after normalization, so the CLI layer
+    // wins regardless of which form each side used
+    val yaml = Files.createTempFile("graft-prec", ".yaml")
+    Files.write(yaml, "out: /tmp/x\ninputs:\n  epmc: /from/file\n".getBytes("UTF-8"))
+    EtlConfig.load(Some(yaml.toString), Map("inputs.epmc.path" -> "/from/cli"))
+      .input("epmc") shouldBe "/from/cli"
+    EtlConfig.load(Some(yaml.toString), Map("epmc" -> "/from/cli"))
+      .input("epmc") shouldBe "/from/cli"
+    val structured = Files.createTempFile("graft-prec2", ".yaml")
+    Files.write(structured,
+      "out: /tmp/x\ninputs:\n  epmc:\n    path: /from/file\n".getBytes("UTF-8"))
+    EtlConfig.load(Some(structured.toString), Map("epmc" -> "/from/cli"))
+      .input("epmc") shouldBe "/from/cli"
+  }
+
   it should "run a step from a YAML config file with CLI overrides on top" in {
     val in = Files.createTempDirectory("graft-cfg-in").toFile.getAbsolutePath
     val out = Files.createTempDirectory("graft-cfg-out").toFile.getAbsolutePath + "/run"

@@ -108,6 +108,26 @@ class AnnSpec extends SparkSpec {
     viaSql.getDouble(1) shouldBe 5.0
   }
 
+  it should "bind each graft_cosine argument exactly once in the resolved plan" in {
+    // the kernel needs each vector in three places (guard, divisor, dot);
+    // the builder must bind the argument once (lambda variable), not
+    // splice the subtree per occurrence — a non-deterministic argument
+    // would otherwise evaluate independently per site and give an
+    // inconsistent result
+    graft.GraftExtensions.register(spark)
+    emb.select(col("embedding").as("e1"), col("embedding").as("e2"))
+      .createOrReplaceTempView("bind_once")
+    val analyzed = spark.sql(
+      "SELECT graft_cosine(e1, e2) AS c FROM bind_once").queryExecution.analyzed
+    Seq("e1", "e2").foreach { name =>
+      val refs = analyzed.expressions.map(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name == name => a
+      }.size).sum
+      withClue(s"occurrences of $name in the analyzed kernel:") { refs shouldBe 1 }
+    }
+  }
+
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
     val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
     cells.count() shouldBe emb.count()

@@ -117,6 +117,74 @@ class IoSpec extends SparkSpec {
     df.filter(col("trace_source").contains("d.json")).count() shouldBe 2
   }
 
+  it should "carry csv reader options through the sidecar (header/sep)" in {
+    val dir = tmp() + "/csv-sidecar"
+    val df = Seq((1, "a|x", 1.5), (2, "b", 2.5)).toDF("id", "s", "v")
+    // one file so exactly one header line exists for the header=false check
+    Io.write(df.repartition(1), Io.WriteSpec("csv", dir,
+      options = Map("header" -> "true", "sep" -> "\t")))
+    // bare read: schema AND the writer's header/sep come from the sidecar —
+    // without the options merge the header line would ingest as a data row
+    val back = Io.read(spark, Io.ReadSpec("csv", dir))
+    back.count() shouldBe 2
+    back.schema.fields.map(f => (f.name, f.dataType)) shouldBe
+      df.schema.fields.map(f => (f.name, f.dataType))
+    back.orderBy("id").select("s").as[String].collect() shouldBe Array("a|x", "b")
+    // the caller's read options win over the sidecar's: header=false makes
+    // the header line visible again (now read with the sidecar schema, so
+    // it fails the int cast and nulls out -> 3 rows, one with null id)
+    val raw = Io.read(spark, Io.ReadSpec("csv", dir,
+      schema = Some(StructType(Seq(StructField("id", StringType),
+        StructField("s", StringType), StructField("v", StringType)))),
+      options = Map("header" -> "false")))
+    raw.count() shouldBe 3
+    raw.filter(col("id") === "id").count() shouldBe 1 // the header row
+  }
+
+  it should "enforce the sidecar contract: drift errors, graceful absence, legacy form" in {
+    val dir = tmp() + "/contract"
+    val df = Seq((1, "x")).toDF("id", "s")
+    Io.write(df, Io.WriteSpec("csv", dir, options = Map("header" -> "true")))
+    val sidecar = new java.io.File(dir, "_graft_schema.json")
+    // tampering below bypasses Hadoop's LocalFileSystem, whose stale
+    // checksum sidecar would otherwise fail the re-read
+    def tamper(content: String): Unit = {
+      Files.writeString(sidecar.toPath, content)
+      new java.io.File(dir, "._graft_schema.json.crc").delete()
+    }
+
+    // format drift: the directory says csv, the read says json -> loud
+    val drift = intercept[IllegalStateException] {
+      Io.read(spark, Io.ReadSpec("json", dir))
+    }
+    drift.getMessage should include("written as 'csv'")
+
+    // a sidecar from a FUTURE library version -> loud, never inference
+    val original = Files.readString(sidecar.toPath)
+    tamper(original.replaceFirst("\"version\":1", "\"version\":99"))
+    intercept[IllegalStateException] {
+      Io.read(spark, Io.ReadSpec("csv", dir))
+    }.getMessage should include("version 99")
+
+    // corrupt sidecar -> loud, never silent inference
+    tamper("{not json")
+    intercept[IllegalStateException] {
+      Io.read(spark, Io.ReadSpec("csv", dir))
+    }.getMessage should include("corrupt")
+
+    // legacy v0 form (bare StructType JSON, no envelope) still reads
+    tamper(df.schema.json)
+    val legacy = Io.read(spark, Io.ReadSpec("csv", dir, options = Map("header" -> "true")))
+    legacy.schema.fieldNames shouldBe Array("id", "s")
+    legacy.count() shouldBe 1
+
+    // MISSING sidecar is graceful: explicit schema/options read still works
+    sidecar.delete() shouldBe true
+    val explicit = Io.read(spark, Io.ReadSpec("csv", dir,
+      schema = Some(df.schema), options = Map("header" -> "true")))
+    explicit.count() shouldBe 1
+  }
+
   it should "fan out multiple writes" in {
     val base = tmp()
     val df = Seq((1, "x")).toDF("a", "b")

@@ -96,6 +96,10 @@ class DedupSpec extends SparkSpec {
     // maxIter=1 cannot close a 40-hop chain even with doubling
     an[IllegalStateException] should be thrownBy
       Dedup.clusters(path, maxIter = 1)
+    // maxIter <= 0 is a caller bug, rejected up front — not reported as
+    // the (misleading) non-convergence failure
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.clusters(path, maxIter = 0)
   }
 
   "simhash banding" should "spread a growing corpus over a growing bucket space" in {
