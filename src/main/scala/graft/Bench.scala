@@ -7,10 +7,18 @@ import org.apache.spark.sql.SparkSession
   * Results are materialized through the noop sink — unlike count(),
   * which lets Catalyst prune away every computed column, noop forces
   * full evaluation of the projected output while writing nothing.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the MIN
+  * elapsed is reported. A shared machine's transient contention inflates
+  * individual runs by integer factors; the min over a few back-to-back
+  * repetitions is the standard estimator for the code's actual cost
+  * (contention only ever ADDS time), so one noisy neighbor no longer
+  * reads as a phantom regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -26,16 +34,23 @@ object Bench {
     // shuffle subsystem, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     // a failed query records the sentinel -1 plus its error, never a
-    // normal-looking elapsed time
+    // normal-looking elapsed time; reps run back-to-back per query and
+    // the min wins (a rep that fails is skipped — only an all-reps
+    // failure reports the sentinel)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
-      } catch {
-        case e: Throwable =>
-          (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, None: Option[String])
+        } catch {
+          case e: Throwable =>
+            (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+        }
       }
+      val ok = runs.collect { case (t, None) => t }
+      if (ok.nonEmpty) (name, ok.min, None: Option[String])
+      else (name, -1.0, runs.head._2)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
