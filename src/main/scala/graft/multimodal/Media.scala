@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * contract), so decoder state is initialized once per partition, not per
   * row.
   *
-  * The actual codecs (image/audio libs) are NOT in this container — the
-  * decode step is a clearly-marked deterministic stub behind the
-  * `Decoder` trait. Everything Spark-side (schema, batching, partition
-  * sizing, metadata flow) is real and tested.
+  * Image decode is REAL ([[Media.ImageIoDecoder]]: the JDK's built-in
+  * javax.imageio codecs — PNG/JPEG/BMP/GIF — no external dependency).
+  * Audio/video codecs are NOT in this container, so those media types
+  * fall back to the clearly-marked deterministic [[Media.StubDecoder]]
+  * behind the same `Decoder` trait. Everything Spark-side (schema,
+  * batching, partition sizing, metadata flow) is real and tested.
   */
 final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -30,9 +32,52 @@ object Media {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float])
   }
 
+  /** Real image decoder over the JDK's built-in javax.imageio codecs
+    * (PNG, JPEG, BMP, GIF — no external dependency). Dimensions are the
+    * actual pixel dimensions; the feature vector is mean R, G, B and
+    * BT.601 luma over all pixels, each normalized to [0, 1] — a cheap
+    * deterministic stand-in for a model embedding with the same shape
+    * contract (a real model binding slots in as another Decoder).
+    *
+    * Non-image media types delegate to `fallback` (default
+    * [[StubDecoder]]): the container ships no audio/video codecs — a
+    * production binding would route audio/wav through
+    * javax.sound.sampled and video through an ffmpeg/jcodec bridge.
+    *
+    * Undecodable image bytes THROW (IllegalArgumentException). At corpus
+    * scale route dirty data through `extractFeatures(..., lenient=true)`,
+    * which drops corrupt payloads instead of failing the job.
+    */
+  final class ImageIoDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+      if (!mediaType.startsWith("image/")) fallback.decode(mediaType, payload)
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) throw new IllegalArgumentException(
+          s"payload is not a decodable $mediaType image (${payload.length} bytes)")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            r += (argb >> 16) & 0xff; g += (argb >> 8) & 0xff; b += argb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val (mr, mg, mb) = (r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f)
+        (w, h, Array(mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb))
+      }
+  }
+
   /** Deterministic fake decoder: dimensions and features derived from the
-    * payload bytes, so specs can assert exact values. STUB — replace with
-    * a real image/audio binding.
+    * payload bytes, so specs can assert exact values. STUB — still the
+    * binding for audio/video only (no codecs in this container; see
+    * [[ImageIoDecoder]] for the real-binding routing); images decode for
+    * real via javax.imageio.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -67,16 +112,24 @@ object Media {
     * media, repartition so each task holds one batch of payloads
     * (`spark.sql.files.maxPartitionBytes` governs the scan side; an
     * explicit repartition governs post-shuffle decode width).
+    *
+    * `lenient=true` drops undecodable payloads instead of failing the
+    * task — at corpus scale one corrupt blob must not kill a
+    * 1000-executor job; count the input/output delta to monitor drops.
     */
   def extractFeatures(rows: Dataset[MediaRow], decoder: Decoder,
-      spark: SparkSession): Dataset[MediaFeatures] = {
+      spark: SparkSession, lenient: Boolean = false): Dataset[MediaFeatures] = {
     import spark.implicits._
     rows.mapPartitions { it =>
       // per-partition decoder setup happens here (model load, codec init)
       val d = decoder
-      it.map { r =>
-        val (w, h, feat) = d.decode(r.media_type, r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, feat)
+      it.flatMap { r =>
+        try {
+          val (w, h, feat) = d.decode(r.media_type, r.payload)
+          Iterator.single(MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, feat))
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
       }
     }
   }

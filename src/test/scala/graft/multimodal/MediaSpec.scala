@@ -37,6 +37,71 @@ class MediaSpec extends SparkSpec {
       .as[Int].collect().toSeq) shouldBe 4
   }
 
+  "ImageIoDecoder" should "decode real PNG pixels end-to-end and feed resizePlan" in {
+    // build real PNGs in-memory: doc 1 is 64x48 solid red, doc 2 is
+    // 300x200 solid white (exercises the downscale path), doc 3 is
+    // 16x16 solid black
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image/png", png(64, 48, 0xff0000)),
+      MediaRow(2L, "image/png", png(300, 200, 0xffffff)),
+      MediaRow(3L, "image/png", png(16, 16, 0x000000))).toDS().repartition(2)
+
+    val feats = Media.extractFeatures(rows, new Media.ImageIoDecoder, spark).cache()
+    val byId = feats.collect().map(f => f.doc_id -> f).toMap
+    // REAL pixel dimensions, not stub arithmetic
+    (byId(1L).width, byId(1L).height) shouldBe (64, 48)
+    (byId(2L).width, byId(2L).height) shouldBe (300, 200)
+    // mean-RGB features reflect the actual pixels
+    byId(1L).feature(0) shouldBe 1.0f  // solid red: R channel saturated
+    byId(1L).feature(1) shouldBe 0.0f
+    byId(2L).feature.take(3).toSeq shouldBe Seq(1.0f, 1.0f, 1.0f)
+    byId(3L).feature.take(3).toSeq shouldBe Seq(0.0f, 0.0f, 0.0f)
+    // luma = BT.601 over the channel means
+    byId(1L).feature(3) shouldBe 0.299f
+
+    // the resize plan consumes the REAL decoded dimensions
+    val planned = Media.resizePlan(feats.toDF(), maxDim = 224)
+      .select("doc_id", "out_width", "out_height")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    planned(2L)._2 shouldBe 224 // 300x200 -> width-bound downscale
+    planned(2L)._3 shouldBe 150 // round(200 * 224/300) ratio preserved (ceil)
+    planned(1L)._2 shouldBe 64  // under maxDim: untouched
+  }
+
+  it should "throw on undecodable image bytes, drop them in lenient mode, and stub non-images" in {
+    val garbage = MediaRow(9L, "image/png", "not a png".getBytes)
+    val good = MediaRow(1L, "image/png", {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    })
+    val decoder = new Media.ImageIoDecoder
+    an[IllegalArgumentException] should be thrownBy
+      decoder.decode(garbage.media_type, garbage.payload)
+    // lenient extraction drops the corrupt payload instead of failing the job
+    val mixed = Seq(good, garbage).toDS()
+    val strict = Media.extractFeatures(mixed, decoder, spark)
+    an[org.apache.spark.SparkException] should be thrownBy strict.count()
+    val lenient = Media.extractFeatures(mixed, decoder, spark, lenient = true)
+    lenient.collect().map(_.doc_id).toSeq shouldBe Seq(1L)
+    // audio/video still route through the declared stub (no JDK codec)
+    val wav = "RIFF....WAVE".getBytes
+    val (dw, dh, dfeat) = decoder.decode("audio/wav", wav)
+    val (sw, sh, sfeat) = Media.StubDecoder.decode("audio/wav", wav)
+    (dw, dh) shouldBe ((sw, sh))
+    dfeat.toSeq shouldBe sfeat.toSeq
+  }
+
   "resizePlan" should "preserve aspect ratio and never upscale" in {
     val decoded = Seq(
       (1L, 64, 48),   // downscale, width-bound
