@@ -628,9 +628,18 @@ object TextQueries {
 
   /** Stemmed LT/TT keys over the document corpus — exercises the native
     * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
-    * the bench path. Rows-only: Porter stemming has no SQL-expressible
-    * oracle; the algorithm itself is locked by PorterStemmerSpec golden
-    * vocabulary and StemExpressionSpec kernel-parity tests.
+    * the bench path. Rows-only: no independent stemmer oracle exists in
+    * this environment — DuckDB's `stem(word, 'porter')` lives in the
+    * `fts` extension, which is not bundled and cannot auto-install
+    * without network egress (verified: `LOAD fts` fails offline), and no
+    * Python stemmer package (nltk / snowballstemmer / PyStemmer) is
+    * installed either. The algorithm itself is locked in-repo instead:
+    * PorterStemmerSpec pins the canonical sample vocabulary from the
+    * published Porter (1980) description across all five steps, and
+    * StemExpressionSpec pins codegen/interpreted kernel parity. (Were an
+    * oracle available it would be Snowball's "porter" variant, which
+    * intentionally diverges from Porter 1980 on a known word list, so a
+    * divergence spec would still be required rather than a raw hash.)
     */
   val stemmedKeys: Q = Q.rowsOnly("t2_stemmed_keys") { (s, dir) =>
     t(s, dir, "documents").select(
