@@ -159,15 +159,24 @@ object Ann {
     assigned.select(col("vec_id"), col("cell"))
   }
 
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+  /** Nearest-centroid assignment as a COMBINABLE aggregate, not a window:
+    * after the broadcast crossJoin each vector's k candidate rows are
+    * co-located, so `max_by` reduces them map-side to one row per vector
+    * BEFORE the exchange — the shuffle carries N rows instead of the N×k
+    * full-vector rows a `Window.partitionBy(vec_id)` would move every
+    * Lloyd round. Tie-break matches the old window ordering exactly:
+    * (sim desc, cell asc), encoded as max over struct(sim, -cell), which
+    * is total because cell is unique per candidate row.
+    */
+  private[ann] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cell"),
         VectorOps.cosine(col("e"), col("ce")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("e"), col("cell")),
+        struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("e"), col("best.cell").as("cell"))
 
   /** Symmetric int8 scalar quantization of the embedding column — the
     * 4× storage/bandwidth compressor an embedding store runs before

@@ -128,6 +128,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  "assignCells" should "reduce to one row per vector via a map-side aggregate, not a window" in {
+    // a Window.partitionBy(vec_id) would shuffle all N×k candidate rows
+    // (carrying full vectors) once per Lloyd round; the max_by aggregate
+    // combines map-side to N rows before its single exchange
+    val vecs = emb.select(col("vec_id"),
+      graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
+    val cents = vecs.limit(4).select(
+      (col("vec_id") % 4).cast("int").as("cell"), col("e").as("ce"))
+    val plan = Ann.assignCells(vecs, cents).queryExecution.executedPlan.toString()
+    plan should not include "Window"
+    plan should include("max_by")
+    // exactly one shuffle: the aggregate's own exchange (the centroid
+    // side moves by broadcast)
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
     val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
     cells.count() shouldBe emb.count()
