@@ -31,10 +31,18 @@ object TextSearch {
     * `docs` is (doc_id, text); `queries` is (query_id, terms:
     * array<string>) — pre-tokenized so callers control query parsing.
     * Returns top `k` docs per query as (query_id, doc_id, score, rank).
+    *
+    * The final ranking is two-phase: a partial top-k per (query,
+    * doc-hash shard) runs first, so the single per-query task of the
+    * global window sees at most `shards`·k rows — a query whose terms
+    * match a huge share of the corpus can no longer funnel its whole
+    * scored stream through one task. The shard phase keeps a superset
+    * of the global top-k (every global winner wins its shard), so
+    * results are identical.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDfFraction: Double = 0.5): DataFrame = {
+      maxDfFraction: Double = 0.5, shards: Int = 32): DataFrame = {
     val d = docs.select(col("doc_id"), words(col("text")).as("w"))
     val dl = d.select(col("doc_id"), size(col("w")).as("dl"))
     // exact-decimal mean so every engine computes the identical avgdl
@@ -68,12 +76,20 @@ object TextSearch {
     // deterministic summation: fold term scores in term order (terms are
     // unique per (query, doc)), the same left-to-right double chain the
     // SQL oracle spells with list_reduce over an ordered list
+    val wShard = Window.partitionBy(col("query_id"), col("_shard"))
+      .orderBy(col("score").desc, col("doc_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
     scored
       .groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("s")))),
         lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      // phase 1: shard-local top-k structurally bounds the global stage
+      .withColumn("_shard", pmod(hash(col("doc_id")), lit(shards)))
+      .withColumn("_r", row_number().over(wShard))
+      .filter(col("_r") <= k)
+      .drop("_shard", "_r")
+      // phase 2: the per-query task ranks at most shards·k survivors
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

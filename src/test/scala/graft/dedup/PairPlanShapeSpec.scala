@@ -53,4 +53,19 @@ class PairPlanShapeSpec extends SparkSpec {
     val p = plan(graft.text.TextSearch.bm25TopK(docs, queries, k = 3))
     p should not include "CartesianProduct"
   }
+
+  it should "bound the per-query top-k structurally via a shard-local phase" in {
+    val queries = Seq((1L, Seq("p1w1", "p2w2"))).toDF("query_id", "terms")
+    val df = graft.text.TextSearch.bm25TopK(docs, queries, k = 3, shards = 8)
+    val p = plan(df)
+    // two window phases: shard-local (partitioned by query_id AND the doc
+    // shard) feeding the global per-query ranking — so the single
+    // per-query task never sees more than shards·k rows
+    p should include("_shard")
+    "windowspecdefinition\\(query_id".r.findAllIn(p.toLowerCase).size should be >= 2
+    // results are unchanged by sharding: identical to a 1-shard run
+    val one = graft.text.TextSearch.bm25TopK(docs, queries, k = 3, shards = 1)
+      .select("query_id", "doc_id", "rank").collect().toSet
+    df.select("query_id", "doc_id", "rank").collect().toSet shouldBe one
+  }
 }
