@@ -93,6 +93,44 @@ object Sampling {
     toks.join(broadcast(offsets), Seq("rng"))
       .withColumn("start", col("roff") + coalesce(sum(col("tokens")).over(wd), lit(0L)))
       .select(col(idCol), col("tokens"), col("start"),
-        floor(col("start") / budget).cast("long").as("pack_id"))
+        floor(col("start") / budget).cast("long").as("pack_id"),
+        // where the doc's first token lands inside its pack — what a
+        // packed-dataset writer seeks to before copying
+        (col("start") % budget).as("offset_in_pack"))
+  }
+
+  /** Straddle-split spans: one row per (doc, pack) a document touches, so
+    * a packed-dataset writer can fill every context window EXACTLY
+    * instead of letting a pack's last document overhang. A doc starting
+    * at offset_in_pack with more tokens than the pack has room for
+    * continues at offset 0 of the next pack(s):
+    *
+    *   - `offset_in_pack` — where this span starts inside the pack
+    *   - `take_tokens`    — how many tokens of the doc this span holds
+    *   - `doc_offset`     — where in the DOCUMENT the span starts
+    *
+    * Per pack, spans tile [0, budget) with no gaps (every interior pack
+    * sums to exactly `budget` tokens); per doc, spans concatenate to the
+    * whole document (`sum(take_tokens) = tokens`, contiguous
+    * doc_offsets). Everything after the sequencePacks prefix sum is
+    * map-side (explode over the touched-pack range, fan-out
+    * ~1 + tokens/budget), so the scale shape is unchanged. Zero-token
+    * docs keep one empty span in their start pack.
+    */
+  def sequencePackSpans(df: DataFrame, idCol: String, sizeCol: Column,
+      budget: Long, numRanges: Int = 4096): DataFrame = {
+    val packs = sequencePacks(df, idCol, sizeCol, budget, numRanges)
+    val lastPack = greatest(col("pack_id"),
+      floor((col("start") + col("tokens") - 1) / budget).cast("long"))
+    val spanStart = greatest(col("start"), col("pack") * budget)
+    packs
+      .select(col(idCol), col("tokens"), col("start"),
+        explode(sequence(col("pack_id"), lastPack)).as("pack"))
+      .select(col(idCol),
+        col("pack").as("pack_id"),
+        (spanStart - col("pack") * budget).as("offset_in_pack"),
+        (least(col("start") + col("tokens"), (col("pack") + 1) * budget) - spanStart)
+          .as("take_tokens"),
+        (spanStart - col("start")).as("doc_offset"))
   }
 }
