@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * which lets Catalyst prune away every computed column, noop forces
   * full evaluation of the projected output while writing nothing.
   *
-  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the MIN
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 5) and the MIN
   * elapsed is reported. A shared machine's transient contention inflates
   * individual runs by integer factors; the min over a few back-to-back
   * repetitions is the standard estimator for the code's actual cost
@@ -18,7 +18,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // default 5: BENCH_r04's two phantom outliers (v8, e11) showed
+    // min-of-3 still lets sustained driver-side contention through
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * row.
   *
   * Image decode is REAL ([[Media.ImageIoDecoder]]: the JDK's built-in
-  * javax.imageio codecs — PNG/JPEG/BMP/GIF — no external dependency).
-  * Audio/video codecs are NOT in this container, so those media types
-  * fall back to the clearly-marked deterministic [[Media.StubDecoder]]
-  * behind the same `Decoder` trait. Everything Spark-side (schema,
-  * batching, partition sizing, metadata flow) is real and tested.
+  * javax.imageio codecs — PNG/JPEG/BMP/GIF) and so is WAV/PCM audio
+  * decode ([[Media.WavDecoder]]: javax.sound.sampled) — both zero
+  * external dependencies. Only video lacks an in-JDK codec and falls
+  * back to the clearly-marked deterministic [[Media.StubDecoder]]
+  * behind the same `Decoder` trait (a production binding would use
+  * ffmpeg/jcodec). Everything Spark-side (schema, batching, partition
+  * sizing, metadata flow) is real and tested.
   */
 final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -39,16 +41,18 @@ object Media {
     * deterministic stand-in for a model embedding with the same shape
     * contract (a real model binding slots in as another Decoder).
     *
-    * Non-image media types delegate to `fallback` (default
-    * [[StubDecoder]]): the container ships no audio/video codecs — a
-    * production binding would route audio/wav through
-    * javax.sound.sampled and video through an ffmpeg/jcodec bridge.
+    * Non-image media types delegate to `fallback`, by default the real
+    * [[WavDecoder]] (JDK javax.sound.sampled) chained onto
+    * [[StubDecoder]] — so PNG/JPEG/BMP/GIF and WAV/PCM all decode for
+    * real with zero external dependencies; only video still needs an
+    * external binding (ffmpeg/jcodec) and stays stubbed.
     *
     * Undecodable image bytes THROW (IllegalArgumentException). At corpus
     * scale route dirty data through `extractFeatures(..., lenient=true)`,
     * which drops corrupt payloads instead of failing the job.
     */
-  final class ImageIoDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+  final class ImageIoDecoder(fallback: Decoder = new WavDecoder(StubDecoder))
+      extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
       if (!mediaType.startsWith("image/")) fallback.decode(mediaType, payload)
       else {
@@ -73,11 +77,86 @@ object Media {
       }
   }
 
+  /** Real WAV/PCM decoder over the JDK's built-in javax.sound.sampled —
+    * like [[ImageIoDecoder]], no external dependency. Returns
+    * (sampleRateHz, channels) as the dimension pair and a 4-dim feature
+    * vector: duration in seconds, mean |amplitude|, RMS, and
+    * zero-crossing rate over channel 0 — cheap deterministic stand-ins
+    * for an audio-model embedding with the same shape contract.
+    * Amplitudes are normalized to [-1, 1]; accumulation runs in double
+    * and narrows to float once at the end, so specs can assert exact
+    * values for dyadic-amplitude fixtures.
+    *
+    * Handles the PCM encodings a `.wav` container actually carries
+    * (signed 16-bit and signed/unsigned 8-bit); anything else —
+    * including undecodable bytes — THROWS, and `lenient` extraction
+    * drops it. Non-audio media types delegate to `fallback`; video is
+    * the one remaining stub (needs an ffmpeg/jcodec binding).
+    */
+  final class WavDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+      if (mediaType != "audio/wav") fallback.decode(mediaType, payload)
+      else {
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"payload is not a decodable WAV (${payload.length} bytes)", e)
+          }
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned8 =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+          if (!(signed && (bits == 16 || bits == 8)) && !unsigned8)
+            throw new IllegalArgumentException(s"unsupported WAV encoding $enc/$bits-bit")
+          val channels = fmt.getChannels
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val n = bytes.length / bytesPerSample // samples across all channels
+          def sample(i: Int): Double = {
+            val base = i * bytesPerSample
+            if (bits == 16) {
+              // WAV is little-endian; honor the header either way
+              val lo = bytes(if (fmt.isBigEndian) base + 1 else base) & 0xff
+              val hi = bytes(if (fmt.isBigEndian) base else base + 1)
+              ((hi << 8) | lo).toShort / 32768.0
+            } else if (unsigned8) ((bytes(base) & 0xff) - 128) / 128.0
+            else bytes(base) / 128.0
+          }
+          var (sumAbs, sumSq) = (0.0, 0.0)
+          var crossings = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < n) {
+            val v = sample(i)
+            sumAbs += math.abs(v); sumSq += v * v
+            if (i % channels == 0) { // channel 0 only for ZCR
+              val s = if (v > 0) 1 else if (v < 0) -1 else 0
+              if (s != 0 && prevSign != 0 && s != prevSign) crossings += 1
+              if (s != 0) prevSign = s
+            }
+            i += 1
+          }
+          val frames = n / math.max(1, channels)
+          val duration = frames / fmt.getSampleRate.toDouble
+          val meanAbs = if (n > 0) sumAbs / n else 0.0
+          val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+          val zcr = if (frames > 1) crossings.toDouble / (frames - 1) else 0.0
+          (fmt.getSampleRate.toInt, channels,
+            Array(duration.toFloat, meanAbs.toFloat, rms.toFloat, zcr.toFloat))
+        } finally in.close()
+      }
+  }
+
   /** Deterministic fake decoder: dimensions and features derived from the
-    * payload bytes, so specs can assert exact values. STUB — still the
-    * binding for audio/video only (no codecs in this container; see
-    * [[ImageIoDecoder]] for the real-binding routing); images decode for
-    * real via javax.imageio.
+    * payload bytes, so specs can assert exact values. STUB — now the
+    * binding for video only (no in-JDK video codec; a production binding
+    * would bridge ffmpeg/jcodec); images decode for real via
+    * [[ImageIoDecoder]] and WAV audio via [[WavDecoder]].
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -106,6 +185,40 @@ object Media {
         .when(col("doc_id") % 3 === 1, "audio/wav")
         .otherwise("video/mp4").as("media_type"),
       col("text").cast("binary").as("payload"))
+
+  /** Deterministic REAL PNG payloads derived purely from doc ids: a
+    * solid-color `(1 + id % 8) × (1 + id % 6)` image whose RGB channels
+    * are `(id % 256, id·7 % 256, id·13 % 256)`, PNG-encoded in-JVM per
+    * partition. Every 7th payload is truncated to its 8-byte magic — a
+    * deterministic corrupt blob, so a query over this frame exercises the
+    * `lenient` drop path, not just the happy path. Solid color makes the
+    * decoded mean-RGB feature recover the channel values EXACTLY
+    * (`round(mean · 255) = channel`), giving the decode pipeline a SQL
+    * oracle despite PNG bytes themselves being codec-version-dependent.
+    */
+  def syntheticPngs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 8).toInt
+        val h = (1 + id % 6).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        val bytes = out.toByteArray
+        MediaRow(id, "image/png",
+          if (id % 7 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
 
   /** Decode + feature-extract, one decoder instance per partition.
     * Partition count is the parallelism AND memory knob: at 100 TB of

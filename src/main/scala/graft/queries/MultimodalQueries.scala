@@ -5,11 +5,12 @@ import graft.queries.Q.t
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata travelling beside them. The decode/feature-extract
-  * kernels live in graft.multimodal (mapPartitions over a typed Dataset
-  * with a stubbed decoder — the real image/audio libs aren't in this
-  * container); the queries here prove the relational side — binary
-  * construction, byte-length/hash metadata, deterministic chunk sampling —
-  * against the oracle.
+  * kernels live in graft.multimodal (mapPartitions over a typed Dataset;
+  * image and WAV decode are REAL — JDK javax.imageio /
+  * javax.sound.sampled — video is the one declared stub); the queries
+  * here prove the relational side — binary construction, byte-length/hash
+  * metadata, deterministic chunk sampling — and, in m4, the real decode
+  * path itself, against the oracle.
   *
   * The `documents` text is ASCII by construction, so utf8-encode is
   * byte-exact in both engines.
@@ -84,5 +85,34 @@ object MultimodalQueries {
         round(col("scale"), 6).as("scale"), col("out_width"), col("out_height"))
   }
 
-  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan)
+  /** REAL image decode inside the driver-checked surface: deterministic
+    * solid-color PNGs generated from doc ids (Media.syntheticPngs), every
+    * 7th payload truncated/corrupt, decoded per-partition with the real
+    * javax.imageio decoder in `lenient` mode — corrupt blobs are DROPPED,
+    * not fatal, and the oracle's `doc_id % 7 <> 0` asserts exactly that
+    * drop set. Solid color makes mean-RGB recover the channel bytes
+    * exactly (`round(mean·255)`), so the whole encode → decode →
+    * feature-extract pipeline is hash-checked against pure SQL arithmetic
+    * even though PNG bytes themselves are codec-version-dependent.
+    */
+  val decodeFeatures: Q = Q(
+    "m4_decode_features",
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST(doc_id % 256 AS INT) AS mean_r,
+      |  CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+      |  CAST((doc_id * 13) % 256 AS INT) AS mean_b
+      |FROM documents WHERE doc_id % 7 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticPngs(t(s, dir, "documents"), s)
+    graft.multimodal.Media
+      .extractFeatures(rows, new graft.multimodal.Media.ImageIoDecoder, s, lenient = true)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(element_at(col("feature"), 1).cast("double") * 255).cast("int").as("mean_r"),
+        round(element_at(col("feature"), 2).cast("double") * 255).cast("int").as("mean_g"),
+        round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
+  }
+
+  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures)
 }

@@ -661,7 +661,8 @@ object TextQueries {
       s"""SELECT doc_id,
          |  CAST(tokens AS BIGINT) AS tokens,
          |  CAST(start AS BIGINT) AS start,
-         |  CAST(start // $budget AS BIGINT) AS pack_id
+         |  CAST(start // $budget AS BIGINT) AS pack_id,
+         |  CAST(start % $budget AS BIGINT) AS offset_in_pack
          |FROM (
          |  SELECT doc_id, tokens,
          |    COALESCE(sum(tokens) OVER (ORDER BY doc_id
@@ -670,6 +671,41 @@ object TextQueries {
          |          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tokens
          |        FROM documents))""".stripMargin) { (s, dir) =>
       graft.dedup.Sampling.sequencePacks(
+        t(s, dir, "documents"), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")),
+        budget = budget, numRanges = 16)
+    }
+  }
+
+  /** Straddle-split pack spans (Sampling.sequencePackSpans): one row per
+    * (doc, pack) a document touches, so a packed-dataset writer can fill
+    * every context window exactly. Everything after the x12 prefix sum is
+    * a map-side explode over the touched-pack range. The oracle replays
+    * the identical span arithmetic with a generate_series-style unnest
+    * over the same global cumsum.
+    */
+  val sequencePackSpans: Q = {
+    val budget = 512L
+    Q(
+      "x16_pack_spans",
+      s"""SELECT doc_id,
+         |  CAST(pack AS BIGINT) AS pack_id,
+         |  CAST(greatest(start, pack * $budget) - pack * $budget AS BIGINT) AS offset_in_pack,
+         |  CAST(least(start + tokens, (pack + 1) * $budget)
+         |       - greatest(start, pack * $budget) AS BIGINT) AS take_tokens,
+         |  CAST(greatest(start, pack * $budget) - start AS BIGINT) AS doc_offset
+         |FROM (
+         |  SELECT doc_id, tokens, start,
+         |    unnest(range(start // $budget,
+         |                 greatest(start // $budget, (start + tokens - 1) // $budget) + 1)) AS pack
+         |  FROM (
+         |    SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+         |      CAST(COALESCE(sum(tokens) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |    FROM (SELECT doc_id,
+         |            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tokens
+         |          FROM documents)))""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.sequencePackSpans(
         t(s, dir, "documents"), "doc_id",
         graft.text.TextAnalysis.tokenCount(col("text")),
         budget = budget, numRanges = 16)
@@ -794,5 +830,6 @@ object TextQueries {
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, repetition, bm25, piiRedact, incrementalMinhash)
+    sequencePacking, sequencePackSpans, repetition, bm25, piiRedact,
+    incrementalMinhash)
 }

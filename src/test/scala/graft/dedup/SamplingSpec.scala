@@ -84,6 +84,88 @@ class SamplingSpec extends SparkSpec {
       .foreach { case (id, start, pack) => (start, pack) shouldBe expected(id) }
   }
 
+  it should "emit offset_in_pack = start % budget (the writer seek position)" in {
+    val sized = (0L until 300L).map(i => (i, (i % 23 + 1).toInt)).toDF("doc_id", "n")
+    Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 70L, numRanges = 8)
+      .select("start", "pack_id", "offset_in_pack").as[(Long, Long, Long)].collect()
+      .foreach { case (start, pack, off) =>
+        off shouldBe start % 70L
+        start shouldBe pack * 70L + off
+      }
+  }
+
+  // Straddle-split spans: sizes i % 91 give ~1/91 zero-token docs and
+  // docs up to 90 tokens (> budget 64, so multi-pack straddles occur).
+  private lazy val spanSized =
+    (0L until 800L).map(i => (i, (i % 91).toInt)).toDF("doc_id", "n")
+  private val spanBudget = 64L
+
+  "sequencePackSpans" should "tile every interior pack [0, budget) gap-free" in {
+    val spans = Sampling.sequencePackSpans(spanSized, "doc_id", col("n"),
+      spanBudget, numRanges = 16)
+      .select("pack_id", "offset_in_pack", "take_tokens")
+      .as[(Long, Long, Long)].collect()
+    val lastPack = spans.map(_._1).max
+    lastPack should be > 10L
+    spans.groupBy(_._1).foreach { case (pack, ss) =>
+      val taking = ss.filter(_._3 > 0).sortBy(_._2)
+      // spans are contiguous: each starts where the previous ended
+      taking.headOption.foreach(_._2 shouldBe 0L)
+      taking.zip(taking.drop(1)).foreach { case ((_, off, take), (_, nextOff, _)) =>
+        nextOff shouldBe off + take
+      }
+      // every interior pack is filled to exactly the budget
+      if (pack < lastPack) ss.map(_._3).sum shouldBe spanBudget
+    }
+  }
+
+  it should "concatenate per doc to the whole document, in order" in {
+    val spans = Sampling.sequencePackSpans(spanSized, "doc_id", col("n"),
+      spanBudget, numRanges = 16)
+      .select("doc_id", "pack_id", "take_tokens", "doc_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    val sizes = spanSized.as[(Long, Int)].collect().toMap
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val inOrder = ss.sortBy(_._2) // pack order == doc order
+      inOrder.map(_._3).sum shouldBe sizes(doc).toLong
+      var off = 0L
+      inOrder.foreach { case (_, _, take, docOff) =>
+        docOff shouldBe off
+        off += take
+      }
+    }
+  }
+
+  it should "give zero-token docs exactly one empty span at their start pack" in {
+    val spans = Sampling.sequencePackSpans(spanSized, "doc_id", col("n"),
+      spanBudget, numRanges = 16).cache()
+    val packs = Sampling.sequencePacks(spanSized, "doc_id", col("n"),
+      spanBudget, numRanges = 16)
+      .select("doc_id", "pack_id", "offset_in_pack").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val zeroDocs = spanSized.filter(col("n") === 0).as[(Long, Int)].collect().map(_._1)
+    zeroDocs.length should be > 0
+    val byDoc = spans.select("doc_id", "pack_id", "offset_in_pack", "take_tokens")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    zeroDocs.foreach { doc =>
+      val ss = byDoc(doc)
+      ss.length shouldBe 1
+      val (_, pack, off, take) = ss.head
+      take shouldBe 0L
+      (pack, off) shouldBe packs(doc)
+    }
+  }
+
+  it should "be invariant to numRanges like sequencePacks" in {
+    def spanSet(nr: Int) =
+      Sampling.sequencePackSpans(spanSized, "doc_id", col("n"), spanBudget, numRanges = nr)
+        .select("doc_id", "pack_id", "offset_in_pack", "take_tokens", "doc_offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val base = spanSet(16)
+    spanSet(1) shouldBe base
+    spanSet(1000000) shouldBe base
+  }
+
   "stratifiedSample" should "keep strata at their rates and drop unlisted strata" in {
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.25)).cache()

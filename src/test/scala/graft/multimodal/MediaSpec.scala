@@ -94,12 +94,75 @@ class MediaSpec extends SparkSpec {
     an[org.apache.spark.SparkException] should be thrownBy strict.count()
     val lenient = Media.extractFeatures(mixed, decoder, spark, lenient = true)
     lenient.collect().map(_.doc_id).toSeq shouldBe Seq(1L)
-    // audio/video still route through the declared stub (no JDK codec)
-    val wav = "RIFF....WAVE".getBytes
-    val (dw, dh, dfeat) = decoder.decode("audio/wav", wav)
-    val (sw, sh, sfeat) = Media.StubDecoder.decode("audio/wav", wav)
+    // audio/wav now routes to the REAL WavDecoder: garbage bytes throw
+    an[IllegalArgumentException] should be thrownBy
+      decoder.decode("audio/wav", "RIFF....WAVE".getBytes)
+    // video still routes through the declared stub (no in-JDK codec)
+    val vid = "not an mp4".getBytes
+    val (dw, dh, dfeat) = decoder.decode("video/mp4", vid)
+    val (sw, sh, sfeat) = Media.StubDecoder.decode("video/mp4", vid)
     (dw, dh) shouldBe ((sw, sh))
     dfeat.toSeq shouldBe sfeat.toSeq
+  }
+
+  "WavDecoder" should "decode a generated PCM16 WAV with exact features" in {
+    def wav(sr: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, channels, true, false)
+      val b = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        b(2 * i) = (samples(i) & 0xff).toByte
+        b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(b), fmt, samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 8000 Hz mono square wave at exactly half amplitude: every feature
+    // is dyadic, so float equality is exact
+    val sq = Array.tabulate[Short](100)(i => if (i % 2 == 0) 16384 else -16384)
+    val (sr, ch, feat) = new Media.WavDecoder().decode("audio/wav", wav(8000f, 1, sq))
+    sr shouldBe 8000
+    ch shouldBe 1
+    feat(0) shouldBe 0.0125f // duration: 100 frames / 8000 Hz
+    feat(1) shouldBe 0.5f    // mean |amplitude|
+    feat(2) shouldBe 0.5f    // RMS of a square wave = its amplitude
+    feat(3) shouldBe 1.0f    // ZCR: sign flips every consecutive frame
+
+    // stereo WAV through the full extractFeatures pipeline, with a
+    // corrupt payload dropped in lenient mode alongside it
+    val stereo = Array.tabulate[Short](200)(i => if ((i / 2) % 2 == 0) 8192 else -8192)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", wav(16000f, 2, stereo)),
+      MediaRow(2L, "audio/wav", "not a wav at all".getBytes)).toDS()
+    val feats = Media
+      .extractFeatures(rows, new Media.ImageIoDecoder, spark, lenient = true)
+      .collect().map(f => f.doc_id -> f).toMap
+    feats.keySet shouldBe Set(1L)
+    feats(1L).width shouldBe 16000 // sample rate
+    feats(1L).height shouldBe 2    // channels
+    feats(1L).feature(0) shouldBe 0.00625f // 100 frames / 16000 Hz
+    feats(1L).feature(1) shouldBe 0.25f
+    feats(1L).feature(3) shouldBe 1.0f
+  }
+
+  "syntheticPngs" should "round-trip doc-id-derived color through real PNG decode" in {
+    val rows = Media.syntheticPngs(docs, spark)
+    val feats = Media
+      .extractFeatures(rows, new Media.ImageIoDecoder, spark, lenient = true)
+      .cache()
+    val ids = docs.select("doc_id").as[Long].collect()
+    // corrupt every-7th payloads are dropped, everything else decodes
+    feats.count() shouldBe ids.count(_ % 7 != 0).toLong
+    feats.collect().foreach { f =>
+      f.width shouldBe (1 + f.doc_id % 8).toInt
+      f.height shouldBe (1 + f.doc_id % 6).toInt
+      math.round(f.feature(0) * 255) shouldBe (f.doc_id % 256)
+      math.round(f.feature(1) * 255) shouldBe (f.doc_id * 7 % 256)
+      math.round(f.feature(2) * 255) shouldBe (f.doc_id * 13 % 256)
+    }
   }
 
   "resizePlan" should "preserve aspect ratio and never upscale" in {
