@@ -1,0 +1,171 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Sessions
+
+/** Scale soak: generates an sf1-equivalent documents + embeddings corpus
+  * ENTIRELY as distributed expressions (spark.range + column builders —
+  * no driver loops, no files, so the generator scales with the cluster
+  * like the corpus it imitates) and runs the dedup → ANN → clean surface
+  * end-to-end, recording per-stage wall time, shuffle volume, and spill.
+  *
+  * Purpose: the plan-shape specs PROVE the 100 TB design properties
+  * (banded candidate generation, no cartesians, no corpus-wide windows);
+  * this harness EXECUTES them at 10–50× the bench scale so the growth
+  * curves (shuffle bytes vs docs, seconds vs docs) are measured, not
+  * argued. Results land in SCALE.md.
+  *
+  * The corpus embeds known duplicate structure per 50-doc block:
+  * ids ≡ 1,2 (mod 50) copy their block leader's text exactly (4% exact
+  * dups) and id ≡ 3 (mod 50) appends one word to it (2% near-dups), so
+  * dedup output sizes are predictable at any N and a soak run is also a
+  * sanity check, not just a stopwatch.
+  *
+  * Env: GRAFT_SOAK_DOCS (default 2,500,000), GRAFT_SOAK_DIM (default 64),
+  * GRAFT_SOAK_VECS (default = docs), SPARK_GRAFT_CPUS. Prints one JSON
+  * line: per-stage {sec, shuffle_bytes, spill_bytes} plus totals.
+  */
+object ScaleSoak {
+
+  /** English-looking deterministic text: 36 words — mostly content words
+    * from a ~10k-word vocabulary, with an isolated English stopword every
+    * 5th position (enough for langId, never two adjacent). Two generator
+    * pitfalls are deliberately designed out, both discovered by running
+    * this soak, not by review:
+    *   - word choice mixes (seed, position) through xxhash64 — an AFFINE
+    *     function of the seed collapses the corpus to `vocabulary`
+    *     distinct texts (every seed ≡ mod p repeats), chaining band
+    *     collisions into one giant dup component;
+    *   - a repeating "the w<k> and" template makes EVERY shingle
+    *     corpus-hot (df ≈ 30·N/vocab), so the DF cap drops a doc's whole
+    *     shingle set and capped Jaccard pairs unrelated docs on the one
+    *     surviving shingle. Isolated stopwords keep ≥2 content words in
+    *     every shingle, so cross-doc shingle df stays ~1.
+    * The lambda touches only its own variable and the projected `seed`
+    * ATTRIBUTE (house rule: never capture an inline expression — it
+    * re-evaluates per element).
+    */
+  def documents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr(
+      "id as doc_id",
+      // block leader's content for dup/near-dup rows, own id otherwise
+      "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
+      "cast(id % 50 = 3 as boolean) as near")
+      .selectExpr(
+        "doc_id",
+        """concat(
+          |  concat_ws(' ', transform(sequence(0, 35),
+          |    i -> case when i % 10 = 0 then 'the'
+          |              when i % 10 = 5 then 'and'
+          |              else concat('w', pmod(xxhash64(seed, i), 9973)) end)),
+          |  case when near then concat(' of extra', doc_id) else ' of note' end
+          |) as text""".stripMargin)
+
+  /** Deterministic unit-free embeddings: dim values in [-0.5, 0.5) from
+    * xxhash64 of (seed, dim) — hashed, not affine, for the same
+    * anti-collapse reason as [[documents]]. Near-dup vectors (the same
+    * block structure as the text) differ in one component.
+    */
+  def embeddings(spark: SparkSession, n: Long, dim: Int): DataFrame =
+    spark.range(n).selectExpr(
+      "id as vec_id",
+      "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
+      "cast(id % 50 = 3 as boolean) as near")
+      .selectExpr(
+        "vec_id",
+        s"""transform(sequence(0, ${dim - 1}),
+           |  d -> cast(pmod(xxhash64(seed, d), 1000) / 1000.0 - 0.5 as float)
+           |) as base""".stripMargin,
+        "near")
+      .selectExpr(
+        "vec_id",
+        "case when near then concat(slice(base, 1, size(base) - 1), " +
+          "array(cast(0.49 as float))) else base end as embedding")
+
+  def main(args: Array[String]): Unit = {
+    val docs = sys.env.getOrElse("GRAFT_SOAK_DOCS", "2500000").toLong
+    val dim = sys.env.getOrElse("GRAFT_SOAK_DIM", "64").toInt
+    val vecs = sys.env.getOrElse("GRAFT_SOAK_VECS", docs.toString).toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString).toInt
+    val spark = Sessions.builder("graft-scale-soak", Some(s"local[$cpus]"), cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // cumulative shuffle/spill across all Spark stages; snapshot deltas
+    // bracket each logical soak stage
+    val shuffleBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    val peakStageShuffle = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val w = m.shuffleWriteMetrics.bytesWritten
+          shuffleBytes.addAndGet(w)
+          spillBytes.addAndGet(m.diskBytesSpilled)
+          peakStageShuffle.updateAndGet(p => math.max(p, w))
+        }
+      }
+    })
+
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val corpus = documents(spark, docs)
+    val emb = embeddings(spark, vecs, dim)
+
+    var results = Vector.empty[(String, Double, Long, Long, Long)]
+    def timed(name: String)(f: => Long): Unit = {
+      val (s0, p0) = (shuffleBytes.get, spillBytes.get)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      results :+= ((name, sec, shuffleBytes.get - s0, spillBytes.get - p0, rows))
+      System.err.println(f"[soak] $name%-22s $sec%8.1f s  " +
+        f"shuffle ${(shuffleBytes.get - s0) / 1e9}%8.3f GB  rows $rows%d")
+    }
+    def sinkCount(df: DataFrame): Long = { sink(df); -1L }
+
+    timed("exact_dedup") { graft.dedup.Dedup.exact(corpus).count() }
+    timed("minhash_pairs_clusters") {
+      val sigs = graft.dedup.Dedup.minhashSignatures(corpus, numPerms = 8)
+      val pairs = graft.dedup.Dedup.minhashCandidates(sigs, numPerms = 8, bandSize = 2)
+      graft.dedup.Dedup.clusters(pairs).count()
+    }
+    timed("simhash_pairs") {
+      graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus)).count()
+    }
+    timed("clean_corpus") {
+      graft.pipelines.CorpusClean(corpus, minQuality = 0.3, minJaccard = 0.5,
+        maxShingleDf = 50).count()
+    }
+    timed("kmeans_cells") {
+      sinkCount(graft.ann.Ann.kmeansCells(emb, k = 64, iters = 2))
+    }
+    timed("ivf_search") {
+      val cells = graft.ann.Ann.kmeansCells(emb, k = 64, iters = 1)
+        .withColumnRenamed("cell", "label")
+      val indexed = emb.join(cells, "vec_id")
+      val queries = emb.filter(col("vec_id") % (vecs / 64) === 0)
+      graft.ann.Ann.ivfSearch(indexed, "label", queries, k = 10, nprobe = 2).count()
+    }
+    timed("int8_quantize") { sinkCount(graft.ann.Ann.quantizeInt8(emb)) }
+
+    val total = results.map(_._2).sum
+    val stages = results.map { case (n, s, sh, sp, r) =>
+      s""""$n":{"sec":$s,"shuffle_bytes":$sh,"spill_bytes":$sp,"rows":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"soak_total","value":$total,"unit":"sec","docs":$docs,""" +
+      s""""vecs":$vecs,"dim":$dim,"docs_per_sec":${(docs / total).toLong},""" +
+      s""""shuffle_total_bytes":${shuffleBytes.get},""" +
+      s""""peak_stage_shuffle_bytes":${peakStageShuffle.get},""" +
+      s""""spill_total_bytes":${spillBytes.get},"stages":$stages}""")
+    spark.stop()
+  }
+}

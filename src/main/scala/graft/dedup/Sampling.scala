@@ -90,13 +90,48 @@ object Sampling {
       .select(col("rng"), col("roff"))
     val wd = Window.partitionBy(col("rng")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // carry the budget as column metadata so a downstream pack writer
+    // reads it off the frame instead of re-threading the parameter
+    val budgetMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.pack.budget", budget).build()
     toks.join(broadcast(offsets), Seq("rng"))
       .withColumn("start", col("roff") + coalesce(sum(col("tokens")).over(wd), lit(0L)))
       .select(col(idCol), col("tokens"), col("start"),
-        floor(col("start") / budget).cast("long").as("pack_id"),
+        floor(col("start") / budget).cast("long").as("pack_id", budgetMeta),
         // where the doc's first token lands inside its pack — what a
         // packed-dataset writer seeks to before copying
-        (col("start") % budget).as("offset_in_pack"))
+        (col("start") % budget).as("offset_in_pack", budgetMeta))
+  }
+
+  /** Deterministic corpus shuffle — the training-order primitive: every
+    * row gets a stable pseudo-random 0-based `position` (the order a
+    * packed-dataset writer consumes documents in) by ranking rows on the
+    * md5 of their id. A pure function of ids: stable under reruns, AQE
+    * re-planning, and cluster size, unlike an `orderBy(rand())`.
+    *
+    * The rank is NOT one corpus-wide `row_number` window (the
+    * single-task funnel — same scale killer sequencePacks avoids): the
+    * hash's first four hex nibbles form a MONOTONE range key
+    * (lexicographic lowercase-hex order equals numeric order), per-range
+    * counts roll into exclusive running offsets over the tiny ≤numRanges
+    * table, and per-range ranks parallelize across ranges. Concatenated
+    * range-local order equals the global (md5, id) order exactly.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, numRanges: Int = 4096): DataFrame = {
+    require(numRanges > 0 && numRanges <= 65536, "numRanges must be in (0, 65536]")
+    val withKey = df
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_rng",
+        conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * numRanges / 65536L)
+    val wr = Window.orderBy(col("_rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey.groupBy(col("_rng")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_roff", coalesce(sum(col("cnt")).over(wr), lit(0L)))
+      .select(col("_rng"), col("_roff"))
+    val wd = Window.partitionBy(col("_rng")).orderBy(col("_h"), col(idCol))
+    withKey.join(broadcast(offsets), Seq("_rng"))
+      .withColumn("position", col("_roff") + row_number().over(wd) - 1)
+      .drop("_h", "_rng", "_roff")
   }
 
   /** Straddle-split spans: one row per (doc, pack) a document touches, so

@@ -712,6 +712,48 @@ object TextQueries {
     }
   }
 
+  /** Deterministic corpus shuffle (Sampling.shuffleOrder): stable
+    * pseudo-random training order by ranking on md5(id) — the oracle IS
+    * the corpus-wide `row_number` the operator refuses to run as one
+    * window (md5-hex range keys + broadcast offsets + per-range ranks
+    * reproduce the global order exactly; SamplingSpec pins the plan
+    * shape).
+    */
+  val shuffleOrder: Q = Q(
+    "x17_shuffle_order",
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |       AS BIGINT) AS position
+      |FROM documents""".stripMargin) { (s, dir) =>
+    graft.dedup.Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", numRanges = 64)
+      .select(col("doc_id"), col("position"))
+  }
+
+  /** TF-IDF top-3 terms per document (TextSearch.tfidfTopTerms): keyword
+    * extraction with the ln-free idf variant `(N+1)/(df+1)`, so the score
+    * is exact rational-in-double and both engines rank identically with
+    * no rounding anywhere.
+    */
+  val tfidfTerms: Q = Q(
+    "x18_tfidf_terms",
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rnk AS INT) AS rank
+      |FROM (
+      |  SELECT doc_id, term, tf,
+      |    CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) DESC, term) AS rnk
+      |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    graft.text.TextSearch.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+  }
+
   /** Intra-document repetition ratio (TextAnalysis.repetitionRatio):
     * 1 − distinct/total word trigrams — the Gopher-style repetitious-text
     * quality filter, entirely map-side. The oracle replays the identical
@@ -830,6 +872,6 @@ object TextQueries {
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, sequencePackSpans, repetition, bm25, piiRedact,
-    incrementalMinhash)
+    sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms, repetition,
+    bm25, piiRedact, incrementalMinhash)
 }

@@ -93,4 +93,31 @@ object TextSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** TF-IDF top-k terms per document — the keyword-extraction primitive a
+    * training pipeline uses for topic tagging and targeted selection.
+    * idf is the ln-free `(N + 1) / (df + 1)` variant: score arithmetic
+    * stays exact rational-in-double, so every engine ranks identically
+    * (a `ln` differs in the last ulp across libm implementations, which
+    * flips adjacent ranks at near-ties and breaks cross-engine parity).
+    *
+    * Scale shape: tf is a (doc, term) combinable aggregation; df reuses
+    * the tf table with a term-key aggregation; the corpus size joins in
+    * as a broadcast 1-row frame; the top-k window partitions by doc_id,
+    * whose per-key row count is bounded by document length — never a
+    * corpus-wide funnel.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

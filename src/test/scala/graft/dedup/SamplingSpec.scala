@@ -86,12 +86,17 @@ class SamplingSpec extends SparkSpec {
 
   it should "emit offset_in_pack = start % budget (the writer seek position)" in {
     val sized = (0L until 300L).map(i => (i, (i % 23 + 1).toInt)).toDF("doc_id", "n")
-    Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 70L, numRanges = 8)
+    val packs = Sampling.sequencePacks(sized, "doc_id", col("n"), budget = 70L, numRanges = 8)
+    packs
       .select("start", "pack_id", "offset_in_pack").as[(Long, Long, Long)].collect()
       .foreach { case (start, pack, off) =>
         off shouldBe start % 70L
         start shouldBe pack * 70L + off
       }
+    // the budget rides the frame as column metadata — a pack writer
+    // reads it instead of re-threading the parameter
+    packs.schema("offset_in_pack").metadata.getLong("graft.pack.budget") shouldBe 70L
+    packs.schema("pack_id").metadata.getLong("graft.pack.budget") shouldBe 70L
   }
 
   // Straddle-split spans: sizes i % 91 give ~1/91 zero-token docs and
@@ -164,6 +169,47 @@ class SamplingSpec extends SparkSpec {
     val base = spanSet(16)
     spanSet(1) shouldBe base
     spanSet(1000000) shouldBe base
+  }
+
+  "shuffleOrder" should "rank exactly like the global (md5, id) order, without a corpus window" in {
+    val n = 700L
+    val df = (0L until n).map(i => (i, s"payload$i")).toDF("doc_id", "payload")
+    val ordered = Sampling.shuffleOrder(df, "doc_id", numRanges = 32).cache()
+
+    // positions are a permutation of 0..n-1
+    ordered.count() shouldBe n
+    ordered.agg(min("position"), max("position")).as[(Long, Long)].head() shouldBe ((0L, n - 1))
+    ordered.select("position").distinct().count() shouldBe n
+
+    // driver-side oracle: sort ids by md5 hex of their string form
+    def hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = (0L until n).sortBy(id => (hex(id), id)).zipWithIndex
+      .map { case (id, pos) => id -> pos.toLong }.toMap
+    ordered.select("doc_id", "position").as[(Long, Long)].collect()
+      .foreach { case (id, pos) => pos shouldBe expected(id) }
+
+    // other columns ride along untouched
+    ordered.columns.toSet shouldBe Set("doc_id", "payload", "position")
+
+    // scale shape: the only unpartitioned window runs over the tiny
+    // per-range count table; every row-level window is partitioned by rng
+    val plan = ordered.queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    windows.nonEmpty shouldBe true
+    windows.filter(_.contains("_h")).foreach(w => w should include("_rng"))
+  }
+
+  it should "be invariant to numRanges" in {
+    val df = (0L until 300L).map(i => (i * 7919L + 13L, i)).toDF("doc_id", "v")
+    def posMap(nr: Int) =
+      Sampling.shuffleOrder(df, "doc_id", numRanges = nr)
+        .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    val base = posMap(64)
+    posMap(1) shouldBe base
+    posMap(65536) shouldBe base
   }
 
   "stratifiedSample" should "keep strata at their rates and drop unlisted strata" in {

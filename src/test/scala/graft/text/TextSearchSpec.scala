@@ -40,4 +40,22 @@ class TextSearchSpec extends SparkSpec {
 
   private def search(queries: org.apache.spark.sql.DataFrame, k: Int) =
     TextSearch.bm25TopK(docs, queries, k = k)
+
+  "tfidfTopTerms" should "surface rare terms over stopwords, k per doc, exact scores" in {
+    val top = TextSearch.tfidfTopTerms(docs, k = 2).cache()
+    // at most k terms per doc, ranks dense from 1
+    top.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .foreach(_._2 should be <= 2L)
+    top.filter(col("rank") === 1).count() shouldBe 5L
+    // "the" (df 3, tf<=8) never beats a unique term (df 1): unique-term
+    // score = tf*(5+1)/2 = 3·tf >= 3; "the" in doc 4: 8*6/4 = 12 — the
+    // one doc where a stopword legitimately wins by sheer tf
+    val doc4Top = top.filter(col("doc_id") === 4L && col("rank") === 1)
+      .select("term").as[String].head()
+    doc4Top shouldBe "the"
+    // exact rational score: doc 5 has "tomato" tf=2, df("tomato")=2 →
+    // 2.0 * 6 / 3 = 4.0 exactly (no rounding anywhere in the operator)
+    top.filter(col("doc_id") === 5L && col("term") === "tomato")
+      .select("score").as[Double].head() shouldBe 4.0
+  }
 }
