@@ -25,6 +25,24 @@ object TextSearch {
   private def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
+  /** (doc_id, term, tf) built from ONE corpus scan and locally
+    * checkpointed: the tf table feeds document length, document frequency
+    * AND the postings join, and without the cut Catalyst recomputes the
+    * whole corpus explode once per consumer (measured: three parquet
+    * scans in the x18 physical plan, zero AQE stage reuse). Same pattern
+    * as Grounding's persisted label table and clusters()' per-round cut;
+    * tf is far smaller than the text it summarizes, so materializing it
+    * beats re-scanning the corpus at any scale.
+    *
+    * Empty documents keep one NULL-term row (explode_outer) so
+    * downstream can rebuild exact document counts and lengths; filter
+    * `term IS NOT NULL` before term-keyed work.
+    */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode_outer(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+
   /** Lucene-variant BM25: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
     * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
     *
@@ -43,13 +61,16 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Double = 0.5, shards: Int = 32): DataFrame = {
-    val d = docs.select(col("doc_id"), words(col("text")).as("w"))
-    val dl = d.select(col("doc_id"), size(col("w")).as("dl"))
+    val tf0 = termFreqs(docs)
+    // dl rebuilt FROM tf (one corpus scan total): Σ tf per doc is the
+    // word count; the NULL-term marker keeps empty docs at dl = 0 so
+    // n_docs/avgdl match a direct per-document count exactly
+    val dl = tf0.groupBy(col("doc_id"))
+      .agg(sum(when(col("term").isNull, lit(0L)).otherwise(col("tf"))).as("dl"))
     // exact-decimal mean so every engine computes the identical avgdl
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (decSum(col("dl").cast("double")) / count(lit(1))).as("avgdl"))
-    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tf0.filter(col("term").isNotNull)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val qTerms = queries
@@ -108,9 +129,9 @@ object TextSearch {
     * corpus-wide funnel.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs).filter(col("term").isNotNull)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // metadata-cheap: count(*) over parquet prunes every column
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
