@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 0..99 bucket from the first four md5 nibbles of the id — the same
-    * strpos-free arithmetic both engines evaluate identically (cf. the
-    * SimHash vote nibbles).
+  /** Raw 16-bit hash bucket (the first four md5 nibbles, 0..65535) — the
+    * fine-granularity selector for fractional rates that percent
+    * granularity would distort. Strpos-free arithmetic both engines
+    * evaluate identically (cf. the SimHash vote nibbles).
     */
-  def hashBucket(id: Column): Column = {
+  def hashBucket16(id: Column): Column = {
     def nibble(k: Int): Column =
       conv(substring(md5(id.cast("string")), k + 1, 1), 16, 10).cast("int")
-    (nibble(0) * 4096 + nibble(1) * 256 + nibble(2) * 16 + nibble(3)) % 100
+    nibble(0) * 4096 + nibble(1) * 256 + nibble(2) * 16 + nibble(3)
   }
+
+  /** 0..99 bucket from the first four md5 nibbles of the id. */
+  def hashBucket(id: Column): Column = hashBucket16(id) % 100
 
   /** Stable train/val/test split labels by id hash. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
@@ -101,6 +105,33 @@ object Sampling {
         // where the doc's first token lands inside its pack — what a
         // packed-dataset writer seeks to before copying
         (col("start") % budget).as("offset_in_pack", budgetMeta))
+  }
+
+  /** Deterministic source-mixture rebalancing — the "mix web/books/code
+    * at 60/20/20 under a token budget" primitive: each listed stratum
+    * keeps rows at rate `min(1, weight·budget / stratum_tokens)` chosen
+    * by id hash; unlisted strata are dropped. Unlike
+    * [[stratifiedSample]], the rates are DERIVED from the observed
+    * per-stratum token totals — one tiny combinable aggregate broadcast
+    * back onto the corpus, which itself passes exactly once, map-side.
+    * Sizes accumulate as exact longs and the threshold is a single
+    * product/division chain, so both engines compute bit-identical keep
+    * sets; selection granularity is the 16-bit id bucket (rate·65536).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      sizeCol: Column, weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val wcol = weights.foldLeft(lit(null).cast("double")) { case (acc, (s, wt)) =>
+      when(col(strataCol) === s, lit(wt)).otherwise(acc)
+    }
+    val totals = df.select(col(strataCol), sizeCol.cast("long").as("_sz"))
+      .groupBy(col(strataCol)).agg(sum(col("_sz")).as("_toks"))
+    df.withColumn("_w", wcol)
+      .filter(col("_w").isNotNull)
+      .join(broadcast(totals), Seq(strataCol))
+      .filter(hashBucket16(col(idCol)).cast("double") <
+        least(lit(1.0), col("_w") * budget / col("_toks")) * 65536.0)
+      .drop("_w", "_toks")
   }
 
   /** Deterministic corpus shuffle — the training-order primitive: every

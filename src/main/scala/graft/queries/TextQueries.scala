@@ -754,6 +754,40 @@ object TextQueries {
     graft.text.TextSearch.tfidfTopTerms(t(s, dir, "documents"), k = 3)
   }
 
+  /** Source-mixture rebalancing (Sampling.mixtureSample): keep each
+    * listed source at rate `min(1, weight·budget / source_chars)` by
+    * 16-bit id-hash bucket — rates DERIVED in-plan from the observed
+    * per-source totals, not caller constants. In this fixture src0's
+    * share clips to rate 1 while src1/src2 downsample fractionally, so
+    * both the clipped and fractional paths are hash-checked. The oracle
+    * replays the identical nibble arithmetic and the identical
+    * product/division chain over exact long totals.
+    */
+  val mixtureSample: Q = {
+    val (w0, w1, w2) = (0.5, 0.3, 0.2)
+    val budget = 20000L
+    def nib16(idExpr: String): String = {
+      def nib(k: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), ${k + 1}, 1)) - 1)"
+      s"(${nib(0)} * 4096 + ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)})"
+    }
+    val caseW = s"CASE d.source WHEN 'src0' THEN $w0 WHEN 'src1' THEN $w1 WHEN 'src2' THEN $w2 END"
+    Q(
+      "x19_mixture_sample",
+      s"""WITH totals AS (
+         |  SELECT source, sum(CAST(n_chars AS BIGINT)) AS toks
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN totals t USING (source)
+         |WHERE ($caseW) IS NOT NULL
+         |  AND ${nib16("d.doc_id")} < least(1.0, ($caseW) * $budget / t.toks) * 65536.0""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.mixtureSample(
+        t(s, dir, "documents"), "doc_id", "source", col("n_chars"),
+        Map("src0" -> w0, "src1" -> w1, "src2" -> w2), budget = budget)
+        .select(col("doc_id"), col("source"))
+    }
+  }
+
   /** Intra-document repetition ratio (TextAnalysis.repetitionRatio):
     * 1 − distinct/total word trigrams — the Gopher-style repetitious-text
     * quality filter, entirely map-side. The oracle replays the identical
@@ -872,6 +906,6 @@ object TextQueries {
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms, repetition,
-    bm25, piiRedact, incrementalMinhash)
+    sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
+    mixtureSample, repetition, bm25, piiRedact, incrementalMinhash)
 }

@@ -171,6 +171,28 @@ class SamplingSpec extends SparkSpec {
     spanSet(1000000) shouldBe base
   }
 
+  "mixtureSample" should "derive per-stratum rates from a token budget and keep clipped strata whole" in {
+    // 3 sources, 600 docs each, 10 tokens per doc → 6000 tokens/source
+    val mix = (0L until 1800L).map(i => (i, s"src${i % 3}", 10L))
+      .toDF("doc_id", "source", "tokens")
+    // budget 9000: srcA weight 0.6 → target 5400/6000 = rate 0.9;
+    // srcB weight 0.4 → 3600/6000 = 0.6; srcC unlisted → dropped
+    val kept = Sampling.mixtureSample(mix, "doc_id", "source", col("tokens"),
+      Map("src0" -> 0.6, "src1" -> 0.4), budget = 9000L).cache()
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    bySrc.keySet shouldBe Set("src0", "src1")
+    bySrc("src0").toDouble shouldBe 540.0 +- 60.0
+    bySrc("src1").toDouble shouldBe 360.0 +- 60.0
+    // a weight whose target exceeds the stratum clips to rate 1 (keep all)
+    Sampling.mixtureSample(mix, "doc_id", "source", col("tokens"),
+      Map("src2" -> 1.0), budget = 60000L)
+      .count() shouldBe 600L
+    // deterministic: same inputs → identical keep set
+    val again = Sampling.mixtureSample(mix, "doc_id", "source", col("tokens"),
+      Map("src0" -> 0.6, "src1" -> 0.4), budget = 9000L)
+    kept.select("doc_id").exceptAll(again.select("doc_id")).count() shouldBe 0
+  }
+
   "shuffleOrder" should "rank exactly like the global (md5, id) order, without a corpus window" in {
     val n = 700L
     val df = (0L until n).map(i => (i, s"payload$i")).toDF("doc_id", "payload")
