@@ -201,6 +201,34 @@ object Ann {
         .otherwise(lit(0.0)))
       .drop("_e", "_maxabs")
 
+  /** Two-stage compressed retrieval over the int8-quantized corpus: a
+    * coarse top-`coarseK` pass scores queries against RECONSTRUCTED
+    * vectors (`code · scale` — the 4× smaller representation that is
+    * what a 100 TB index actually scans), then the survivors rerank
+    * EXACTLY against the full-precision embeddings. Scoring is
+    * asymmetric (ADC-style): queries stay full precision. Returns the
+    * exact top-k OF the coarse candidate set — `coarseK/k` is the
+    * compression-recall knob, and with coarseK ≥ corpus size the result
+    * equals bruteForceKnn exactly (AnnSpec locks both properties).
+    */
+  def int8RerankKnn(embeddings: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int = 32): DataFrame = {
+    val recon = quantizeInt8(embeddings).select(col("vec_id"),
+      transform(col("codes"), c => c.cast("double") * col("scale")).as("embedding"))
+    val coarse = bruteForceKnn(recon, queries, coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val sim = VectorOps.cosine(col("qe"), col("ne"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    coarse
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        toD(col("embedding")).as("ne")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        toD(col("embedding")).as("qe"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: route each query to its `nprobe` nearest centroid cells,
     * then exact top-k within those cells only. The fine search shuffles on
     * the cell key; with C cells it scans ~nprobe/C of the corpus per

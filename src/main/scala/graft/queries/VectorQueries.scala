@@ -219,6 +219,45 @@ object VectorQueries {
       .select(col("vec_id"), col("dim"), col("code"), col("scale"))
   }
 
+  /** Two-stage compressed retrieval (Ann.int8RerankKnn): coarse top-32
+    * over int8-RECONSTRUCTED vectors, exact rerank of the survivors.
+    * The oracle replays the identical quantize → reconstruct → coarse
+    * rank → exact rerank chain: reconstruction is
+    * `round(x·127/maxabs) · (maxabs/127)` — the same single
+    * product/division arithmetic v8 hash-verifies — so the candidate
+    * sets agree bit-for-bit before the (v1-precedent) cosine compare.
+    */
+  val int8Rerank: Q = Q(
+    "v9_int8_rerank",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |m AS (SELECT vec_id, ev,
+      |        list_max(list_transform(ev, x -> abs(x))) AS maxabs FROM e),
+      |recon AS (
+      |  SELECT vec_id,
+      |    CASE WHEN maxabs > 0
+      |      THEN list_transform(ev, x -> round(x * 127.0 / maxabs) * (maxabs / 127.0))
+      |      ELSE list_transform(ev, x -> 0.0) END AS re
+      |  FROM m),
+      |q AS (SELECT vec_id AS query_id, ev AS qe FROM e WHERE vec_id < 5),
+      |coarse AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, r.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qe, r.re) DESC, r.vec_id) AS rn
+      |    FROM q CROSS JOIN recon r WHERE q.query_id <> r.vec_id)
+      |  WHERE rn <= 32)
+      |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.qe, e.ev) AS sim,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_cosine_similarity(q.qe, e.ev) DESC, c.neighbor_id) AS rn
+      |  FROM coarse c JOIN e ON c.neighbor_id = e.vec_id JOIN q USING (query_id))
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    Ann.int8RerankKnn(e, e.filter(col("vec_id") < 5), k = 3, coarseK = 32)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
-    kmeansCells, ivfNprobe, int8Quantize)
+    kmeansCells, ivfNprobe, int8Quantize, int8Rerank)
 }

@@ -22,6 +22,32 @@ class AnnSpec extends SparkSpec {
     sims.toSeq shouldBe sims.sortBy(-_).toSeq
   }
 
+  "int8RerankKnn" should "equal brute force when coarseK covers the corpus" in {
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceKnn(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val full = Ann.int8RerankKnn(emb, queries, k = 3, coarseK = n)
+      .select("query_id", "neighbor_id", "rank")
+    // candidate set = whole corpus → the exact rerank IS brute force
+    full.exceptAll(exact).count() shouldBe 0
+    exactAllCount(exact) shouldBe exactAllCount(full)
+  }
+
+  it should "keep high recall at a 32-candidate coarse pass over int8 codes" in {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceKnn(emb, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = Ann.int8RerankKnn(emb, queries, k = 3, coarseK = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.intersect(rer).count().toDouble
+    // int8 reconstruction error is <= scale/2 per component — a 32-wide
+    // coarse pass must retain nearly all true top-3 neighbors
+    overlap / exact.count() should be >= 0.9
+  }
+
+  private def exactAllCount(df: org.apache.spark.sql.DataFrame): Long = df.count()
+
   "ivfSearch" should "match brute force whenever the true top-1 is in the query's cell" in {
     val brute = Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 1)
       .select(col("query_id"), col("neighbor_id").as("true_top"))
