@@ -141,6 +141,13 @@ object ScaleSoak {
     timed("simhash_pairs") {
       graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus)).count()
     }
+    timed("simhash_pairs_comb") {
+      // same verified pair set, block-pair bucket keys — the soak's own
+      // finding (single-band candidates grow ~N^2/2^16) motivated this;
+      // the stage pair quantifies the candidate-volume win at each N
+      graft.dedup.Dedup.simhashPairsCombinatorial(
+        graft.dedup.Dedup.simhash(corpus)).count()
+    }
     timed("clean_corpus") {
       graft.pipelines.CorpusClean(corpus, minQuality = 0.3, minJaccard = 0.5,
         maxShingleDf = 50).count()

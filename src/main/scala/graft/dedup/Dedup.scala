@@ -171,6 +171,46 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs via COMBINATORIAL (block-pair) pigeonhole
+    * banding — the 10⁸+-doc scale path the sf1 soak motivated: with B
+    * blocks and hamming ≤ r (r ≤ B − 2), at most r blocks differ, so
+    * some PAIR of blocks matches exactly between any true near-dup.
+    * Keying candidates on (block-pair id, val_i, val_j) roughly SQUARES
+    * the effective bucket space (~2^(2·bits/B) per combo vs
+    * 2^(bits/(r+1)) for single-band banding) at the cost of C(B,2)
+    * emitted rows per doc — the Manku/Jain/Sarma table construction.
+    * Output is IDENTICAL to [[simhashPairs]] (both bandings are complete
+    * for the Hamming budget; DedupSpec locks set equality): choose by
+    * corpus size — single-band for small corpora, this one where
+    * N/2^16 bucket occupancy drives quadratic candidate volume
+    * (measured in the soak: 77k candidates @500k docs → 939k @2.5M).
+    */
+  def simhashPairsCombinatorial(sigs: DataFrame, bits: Int = 64,
+      maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    require(blocks >= maxHamming + 2,
+      "need blocks >= maxHamming + 2 so an untouched block PAIR survives")
+    require(blocks <= bits && bits <= 64, "blocks must not exceed bits (<= 64)")
+    val base = bits / blocks
+    val widths = (0 until blocks).map(b => if (b < bits % blocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column =
+      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    val combos = for { i <- 0 until blocks; j <- i + 1 until blocks } yield (i, j)
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(combos.map { case (i, j) =>
+        struct(blockVal(i).as("vi"), blockVal(j).as("vj"))
+      }: _*)).as(Seq("combo", "k")))
+    val hamming = bit_count(expr("a.simhash ^ b.simhash"))
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.combo") === col("b.combo") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Corpus-hot shingles — the diagnostic twin of jaccardPairs'
     * document-frequency cap: the top-k n-grams by document frequency
     * above `minDf` are the site boilerplate / license headers / template

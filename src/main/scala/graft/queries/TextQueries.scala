@@ -181,8 +181,7 @@ object TextQueries {
     * joins (4 × 2^16 key space), exact Hamming filter on candidates only.
     * Runs over the near-dup-augmented corpus so results are non-trivial.
     */
-  val simhashPairs: Q = Q(
-    "d6_simhash_pairs",
+  private lazy val simhashPairsOracle: String =
     s"""WITH corpus AS ($corpusSql),
        |sigs AS (
        |  SELECT doc_id, $simhashSigSql AS simhash FROM (
@@ -196,8 +195,22 @@ object TextQueries {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b
        |  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  val simhashPairs: Q = Q("d6_simhash_pairs", simhashPairsOracle) { (s, dir) =>
     graft.dedup.Dedup.simhashPairs(graft.dedup.Dedup.simhash(corpus(s, dir)))
+      .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Combinatorial block-pair banding twin
+    * (Dedup.simhashPairsCombinatorial) — the bucket-space scale path the
+    * sf1 soak motivated. The oracle is d6's verbatim: BOTH bandings are
+    * complete candidate generators for hamming ≤ 3, so the verified pair
+    * set is identical — which is exactly the property worth
+    * driver-checking.
+    */
+  val simhashPairsComb: Q = Q("d10_simhash_comb", simhashPairsOracle) { (s, dir) =>
+    graft.dedup.Dedup.simhashPairsCombinatorial(graft.dedup.Dedup.simhash(corpus(s, dir)))
       .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
   }
 
@@ -902,7 +915,8 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    ngramJaccardPairs, dedupClusters, embeddingNearDups, langId, qualityScore,
+    simhashPairsComb, ngramJaccardPairs, dedupClusters, embeddingNearDups,
+    langId, qualityScore,
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,

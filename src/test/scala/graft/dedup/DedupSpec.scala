@@ -49,6 +49,19 @@ class DedupSpec extends SparkSpec {
     pairs should contain((3L, 100L)) // identical text → Hamming 0
   }
 
+  "simhashPairsCombinatorial" should "produce exactly simhashPairs' pair set" in {
+    // both bandings are COMPLETE candidate generators for the Hamming
+    // budget, so the verified outputs must be set-equal — the block-pair
+    // variant only enlarges the bucket key space
+    val sigs = Dedup.simhash(docs).cache()
+    val single = Dedup.simhashPairs(sigs).select("doc1", "doc2", "hamming")
+    val comb = Dedup.simhashPairsCombinatorial(sigs).select("doc1", "doc2", "hamming")
+    single.exceptAll(comb).count() shouldBe 0
+    comb.exceptAll(single).count() shouldBe 0
+    comb.select("doc1", "doc2").as[(Long, Long)].collect().toSet should
+      contain((3L, 100L))
+  }
+
   "incrementalMinhashCandidates" should "pair a new drop against the corpus only" in {
     val corpus = docs
     // doc 200 is a near-dup of corpus doc 3; docs 201/202 are identical

@@ -28,6 +28,12 @@ class PairPlanShapeSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  "simhashPairsCombinatorial" should "join on block-pair keys, not a cartesian" in {
+    val p = plan(Dedup.simhashPairsCombinatorial(Dedup.simhash(docs)))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   "jaccardPairs" should "join on the shingle key, not a cartesian" in {
     val p = plan(Dedup.jaccardPairs(docs))
     p should not include "CartesianProduct"
