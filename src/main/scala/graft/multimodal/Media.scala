@@ -220,6 +220,51 @@ object Media {
     }
   }
 
+  /** Deterministic REAL WAV payloads derived purely from doc ids: a
+    * mono 16-bit PCM square wave at 1024 Hz with `64·(1 + id % 8)`
+    * samples, amplitude `(1 + id % 16)·1024` (= `(1+id%16)/32` of full
+    * scale, an exact dyadic), flipping sign every `2^(id % 3)` samples —
+    * the RIFF/WAVE container is written byte-by-byte, so the payload is
+    * bit-deterministic. Every 5th payload is truncated to its 8-byte
+    * RIFF magic, a deterministic corrupt blob for the `lenient` drop
+    * path. Because amplitude, sample count and period are all dyadic,
+    * [[WavDecoder]]'s duration / mean|amp| / RMS come out EXACT and the
+    * zero-crossing count is recoverable as `round(zcr · (frames − 1))` —
+    * a pure-SQL oracle for a real audio decode.
+    */
+  def syntheticWavs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 64 * (1 + id % 8).toInt      // samples (mono frames)
+        val amp = (1 + id % 16).toInt * 1024 // dyadic: amp/32768 = (1+id%16)/32
+        val period = 1 << (id % 3).toInt     // sign flips every 1, 2 or 4 samples
+        val sampleRate = 1024
+        val dataLen = n * 2
+        val bytes = new Array[Byte](44 + dataLen)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)              // PCM
+          .putShort(1)              // mono
+          .putInt(sampleRate)
+          .putInt(sampleRate * 2)   // byte rate
+          .putShort(2)              // block align
+          .putShort(16)             // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          val v = if ((i / period) % 2 == 0) amp else -amp
+          bb.putShort(v.toShort)
+          i += 1
+        }
+        MediaRow(id, "audio/wav",
+          if (id % 5 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
+
   /** Decode + feature-extract, one decoder instance per partition.
     * Partition count is the parallelism AND memory knob: at 100 TB of
     * media, repartition so each task holds one batch of payloads

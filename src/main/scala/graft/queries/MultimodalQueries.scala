@@ -9,8 +9,8 @@ import graft.queries.Q.t
   * image and WAV decode are REAL — JDK javax.imageio /
   * javax.sound.sampled — video is the one declared stub); the queries
   * here prove the relational side — binary construction, byte-length/hash
-  * metadata, deterministic chunk sampling — and, in m4, the real decode
-  * path itself, against the oracle.
+  * metadata, deterministic chunk sampling — and, in m4/m5, the real image
+  * and audio decode paths themselves, against the oracle.
   *
   * The `documents` text is ASCII by construction, so utf8-encode is
   * byte-exact in both engines.
@@ -114,5 +114,47 @@ object MultimodalQueries {
         round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
   }
 
-  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures)
+  /** REAL WAV/PCM audio decode inside the driver-checked surface:
+    * deterministic square-wave WAVs generated from doc ids
+    * (Media.syntheticWavs — bit-deterministic hand-rolled RIFF
+    * container), every 5th payload truncated/corrupt, decoded
+    * per-partition with the real javax.sound.sampled decoder in
+    * `lenient` mode (corrupt blobs DROPPED; the oracle's
+    * `doc_id % 5 <> 0` asserts exactly that drop set). Amplitude, sample
+    * count and flip period are all dyadic, so duration / mean|amp| / RMS
+    * are bit-exact against pure SQL arithmetic, and the zero-crossing
+    * COUNT is recovered exactly from the float rate via
+    * `round(zcr · (frames − 1))` — frames − 1 ≤ 511 keeps the float
+    * round-trip error far under the rounding threshold.
+    */
+  val audioFeatures: Q = Q(
+    "m5_audio_features",
+    """SELECT doc_id,
+      |  CAST(1024 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST(64 * (1 + doc_id % 8) AS DOUBLE) / 1024 AS duration,
+      |  CAST(1 + doc_id % 16 AS DOUBLE) / 32 AS mean_abs,
+      |  CAST(1 + doc_id % 16 AS DOUBLE) / 32 AS rms,
+      |  CAST(64 * (1 + doc_id % 8)
+      |       // (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+      |       - 1 AS BIGINT) AS crossings
+      |FROM documents WHERE doc_id % 5 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticWavs(t(s, dir, "documents"), s)
+    val feats = graft.multimodal.Media
+      .extractFeatures(rows, new graft.multimodal.Media.WavDecoder(), s, lenient = true)
+      .toDF()
+    val duration = element_at(col("feature"), 1).cast("double")
+    val frames = round(duration * col("width"))
+    feats.select(
+      col("doc_id"),
+      col("width").as("sample_rate"),
+      col("height").as("channels"),
+      duration.as("duration"),
+      element_at(col("feature"), 2).cast("double").as("mean_abs"),
+      element_at(col("feature"), 3).cast("double").as("rms"),
+      round(element_at(col("feature"), 4).cast("double") * (frames - 1))
+        .cast("bigint").as("crossings"))
+  }
+
+  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures, audioFeatures)
 }

@@ -165,6 +165,30 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  "syntheticWavs" should "round-trip doc-id-derived waveforms through real WAV decode" in {
+    val rows = Media.syntheticWavs(docs, spark)
+    val feats = Media
+      .extractFeatures(rows, new Media.WavDecoder(), spark, lenient = true)
+      .cache()
+    val ids = docs.select("doc_id").as[Long].collect()
+    // corrupt every-5th payloads are dropped, everything else decodes
+    feats.count() shouldBe ids.count(_ % 5 != 0).toLong
+    feats.collect().foreach { f =>
+      val id = f.doc_id
+      val n = 64 * (1 + id % 8).toInt
+      val k = (1 + id % 16).toInt
+      val period = 1 << (id % 3).toInt
+      f.width shouldBe 1024 // sample rate
+      f.height shouldBe 1   // mono
+      // dyadic construction → exact float equality, not approximate
+      f.feature(0) shouldBe n.toFloat / 1024f          // duration
+      f.feature(1) shouldBe k.toFloat / 32f            // mean |amplitude|
+      f.feature(2) shouldBe k.toFloat / 32f            // RMS of a square wave
+      // crossing count recovered exactly from the float rate
+      math.round(f.feature(3).toDouble * (n - 1)) shouldBe (n / period - 1).toLong
+    }
+  }
+
   "resizePlan" should "preserve aspect ratio and never upscale" in {
     val decoded = Seq(
       (1L, 64, 48),   // downscale, width-bound
