@@ -913,6 +913,107 @@ object TextQueries {
         md5(TextAnalysis.redactPii(col("planted"))).as("clean_md5"))
   }
 
+  /** Gopher-style repetition fractions (TextQuality.gopherStats): top
+    * unigram/bigram word-fraction via the canonical word-count shuffle,
+    * duplicate-5-gram fraction map-side. Fractions are single IEEE
+    * divisions of exact integers, so both engines produce bit-identical
+    * doubles.
+    */
+  val gopherStats: Q = Q(
+    "x20_gopher_repetition",
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_unigram_frac
+      |  FROM (SELECT doc_id, g, count(*) AS cnt
+      |        FROM (SELECT doc_id, unnest(w) AS g FROM words) GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_frac
+      |  FROM (SELECT doc_id, g, count(*) AS cnt
+      |        FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      |              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |                    FROM words WHERE len(w) >= 2))
+      |        GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |five AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CASE WHEN len(g5) > 0
+      |         THEN 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+      |         ELSE 0.0 END AS dup_5gram_frac
+      |  FROM (SELECT doc_id, w,
+      |          list_transform(range(1, len(w) - 3),
+      |            i -> array_to_string(w[i:i+4], ' ')) AS g5
+      |        FROM words))
+      |SELECT doc_id, n_words, dup_5gram_frac,
+      |  COALESCE(top_unigram_frac, 0.0) AS top_unigram_frac,
+      |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM five LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)""".stripMargin) {
+    (s, dir) =>
+      graft.text.TextQuality.gopherStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("dup_5gram_frac"),
+          col("top_unigram_frac"), col("top_bigram_frac"))
+  }
+
+  /** Winnowed k-gram fingerprints (TextQuality.winnowedFingerprints,
+    * k=8, window=4): md5 every word 8-gram, keep each 4-window's
+    * lexicographic minimum, distinct per doc — all map-side. The oracle
+    * replays gram construction, hashing and the sliding window min with
+    * list lambdas over the identical md5-hex strings.
+    */
+  val winnowedFps: Q = Q(
+    "x21_winnowed_fingerprints",
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(w) - 6),
+      |      i -> md5(array_to_string(w[i:i+7], ' '))) AS g
+      |  FROM words WHERE len(w) >= 8)
+      |SELECT doc_id,
+      |  unnest(list_distinct(list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+      |    i -> list_aggregate(g[i:i+3], 'min')))) AS fp
+      |FROM grams""".stripMargin) { (s, dir) =>
+    graft.text.TextQuality.winnowedFingerprints(t(s, dir, "documents"))
+  }
+
+  /** Verbatim span-overlap pairs (TextQuality.overlapPairs over the
+    * planted-near-dup corpus): docs sharing ≥ 2 winnowed fingerprints
+    * through a DF-capped inverted index — same candidate discipline as
+    * d5, for the contamination / shared-passage case. The planted
+    * near-dups share every fingerprint past the prepended token, so the
+    * result is non-trivial at every scale factor.
+    */
+  val spanOverlap: Q = Q(
+    "x22_span_overlap_pairs",
+    s"""WITH corpus AS ($corpusSql),
+       |words AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(w) - 6),
+       |      i -> md5(array_to_string(w[i:i+7], ' '))) AS g
+       |  FROM words WHERE len(w) >= 8),
+       |fps AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+       |      i -> list_aggregate(g[i:i+3], 'min')))) AS fp
+       |  FROM grams),
+       |idx AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+       |  WHERE df <= 100)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+    graft.text.TextQuality.overlapPairs(
+      graft.text.TextQuality.winnowedFingerprints(corpus(s, dir)),
+      minShared = 2, maxFpDf = 100)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, dedupClusters, embeddingNearDups,
@@ -921,5 +1022,6 @@ object TextQueries {
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
-    mixtureSample, repetition, bm25, piiRedact, incrementalMinhash)
+    mixtureSample, repetition, bm25, piiRedact, incrementalMinhash,
+    gopherStats, winnowedFps, spanOverlap)
 }

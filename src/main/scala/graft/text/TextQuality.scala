@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality and contamination operators beyond the per-document
+  * column features in [[TextAnalysis]]: Gopher-style repetition
+  * fractions (the published pre-training quality filters that need a
+  * per-document frequency aggregation, not just array arithmetic) and
+  * winnowed k-gram fingerprints for verbatim span-overlap detection —
+  * the scalable approximation of exact-substring dedup (a shared run of
+  * ≥ k + window − 1 words guarantees a shared fingerprint, so long
+  * verbatim overlaps are caught with ~1/window of the k-gram index
+  * volume).
+  */
+object TextQuality {
+
+  /** Non-empty whitespace-split words. */
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Word k-grams from a MATERIALIZED words-array column: k shifted
+    * slices folded pairwise with zip_with, so each slice evaluates once
+    * per row no matter how long the document (the transform-over-indices
+    * shape re-evaluates captured expressions per element — quadratic;
+    * see TextAnalysis.wordTrigrams). Docs under k words yield an empty
+    * array.
+    */
+  def wordKgrams(w: Column, k: Int): Column = {
+    require(k >= 1, s"wordKgrams needs k >= 1, got $k")
+    val m = size(w) - (k - 1)
+    when(size(w) >= k,
+      (1 until k).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+        zip_with(acc, slice(w, lit(1 + j), m), (a, b) => concat(a, lit(" "), b))
+      }).otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition stats per document (Rae et al. 2021's
+    * quality-filter family, §A1.1): the fraction of words taken by the
+    * single most frequent unigram / bigram, and the duplicate-5-gram
+    * fraction (1 − distinct/total). High values mean templated or
+    * looping text.
+    *
+    * Scale shape: the unigram and bigram frequency tables shuffle on
+    * (doc_id, gram) with full map-side partial aggregation, then reduce
+    * to one row per doc — the canonical word-count plan, linear at any
+    * corpus size. The 5-gram fraction never leaves the map side. The
+    * final joins are id-equi-joins between one-row-per-doc frames.
+    */
+  def gopherStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = docs.select(col(idCol), words(col(textCol)).as("w"))
+
+    def topFrac(gramCol: Column, out: String): DataFrame =
+      w.select(col(idCol), explode(gramCol).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as(out))
+
+    val uni = topFrac(col("w"), "top_unigram_frac")
+    val bi = topFrac(wordKgrams(col("w"), 2), "top_bigram_frac")
+    val five = w.select(
+      col(idCol),
+      size(col("w")).cast("long").as("n_words"),
+      wordKgrams(col("w"), 5).as("g5"))
+      .select(col(idCol), col("n_words"),
+        when(size(col("g5")) > 0,
+          lit(1.0) - size(array_distinct(col("g5"))).cast("double") / size(col("g5")))
+          .otherwise(lit(0.0)).as("dup_5gram_frac"))
+
+    // left joins from the map-side frame: a doc with no words has no
+    // unigram rows at all, and its fractions are defined as 0
+    five
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_unigram_frac", "top_bigram_frac"))
+  }
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every word k-gram, slide a `window`-wide window
+    * over the hash sequence and keep each window's minimum — the
+    * guarantee is that any shared word run of length ≥ k + window − 1
+    * produces at least one shared fingerprint, at ~1/window of the full
+    * k-gram index volume.
+    *
+    * Entirely map-side (one row per distinct fingerprint per doc);
+    * set semantics over window minima sidestep the tie-position
+    * subtleties of positional winnowing, and an md5-hex hash makes the
+    * lexicographic window-min replayable in any engine. Docs under k
+    * words yield no fingerprints; 0 < #grams < window yields exactly
+    * one (the global minimum).
+    */
+  def winnowedFingerprints(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k >= 1 and window >= 1, got k=$k window=$window")
+    docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol),
+        transform(wordKgrams(col("w"), k), g => md5(g)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("grams")) - (window - 1), lit(1))),
+          i => array_min(slice(col("grams"), i, lit(window)))))).as("fp"))
+  }
+
+  /** Verbatim span-overlap pairs over winnowed fingerprints: documents
+    * sharing ≥ `minShared` fingerprints — the cross-document
+    * contamination / near-verbatim-copy detector (catches long shared
+    * passages that token-set Jaccard dilutes away in long documents).
+    *
+    * Same scale guard as Dedup.jaccardPairs: `maxFpDf` caps the document
+    * frequency of fingerprints admitted to the inverted index (a
+    * fingerprint in c docs contributes c² candidate rows), computed with
+    * a window over the fingerprint key so the stream arrives at the
+    * self-join already partitioned on it — no extra exchange. Boilerplate
+    * passages shared corpus-wide are exactly what the cap drops.
+    */
+  def overlapPairs(fps: DataFrame, minShared: Int = 2,
+      maxFpDf: Int = 1000, idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, s"overlapPairs needs minShared >= 1, got $minShared")
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val idx = fps
+      .withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= maxFpDf)
+      .drop("df")
+    idx.alias("a")
+      .join(idx.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

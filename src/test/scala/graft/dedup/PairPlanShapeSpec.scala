@@ -46,6 +46,13 @@ class PairPlanShapeSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  "TextQuality.overlapPairs" should "join on the fingerprint key, not a cartesian" in {
+    val fps = graft.text.TextQuality.winnowedFingerprints(docs)
+    val p = plan(graft.text.TextQuality.overlapPairs(fps))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   "Ann.lshPairs" should "join on (table, bucket), not a cartesian" in {
     val p = plan(Ann.lshPairs(emb))
     p should not include "CartesianProduct"

@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  "wordKgrams" should "produce overlapping k-grams and empty below k words" in {
+    val out = docs((1L, "a b c d"), (2L, "a b"), (3L, ""))
+      .select(col("doc_id"),
+        TextQuality.wordKgrams(filter(split(col("text"), " "), w => w =!= ""), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    out(1L) shouldBe Seq("a b c", "b c d")
+    out(2L) shouldBe Seq.empty
+    out(3L) shouldBe Seq.empty
+  }
+
+  "gopherStats" should "compute exact repetition fractions" in {
+    val out = TextQuality.gopherStats(docs(
+      (1L, "a a a b"),              // top uni 3/4; bigrams: "a a","a a","a b" -> 2/3
+      (2L, "x y x y x y x y x y"),  // 10 words; 6 5-grams, 2 distinct -> 4/6
+      (3L, "q")))                   // single word: fractions 1, no bigrams
+      .select("doc_id", "n_words", "top_unigram_frac", "top_bigram_frac", "dup_5gram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 4L, 3.0 / 4, 2.0 / 3, 0.0))
+    out(2L)._2 shouldBe 10L
+    out(2L)._3 shouldBe 5.0 / 10
+    out(2L)._4 shouldBe 5.0 / 9  // "x y" x5 of 9 bigrams
+    out(2L)._5 shouldBe 1.0 - 2.0 / 6
+    out(3L) shouldBe ((3L, 1L, 1.0, 0.0, 0.0))
+  }
+
+  "winnowedFingerprints" should "hit boundary cases and guarantee shared runs" in {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val fps = TextQuality.winnowedFingerprints(docs(
+      (1L, "a b c d e f g"),        // 7 words < k: no fingerprints
+      (2L, eight),                  // exactly one 8-gram: one fingerprint
+      (3L, eight + " w9"),          // 2 grams < window: single global min
+      (4L, "z1 z2 " + eight + " z3 z4 z5 z6 z7 z8 z9"), // shares the run
+      (5L, eight)))                 // identical to doc 2
+      .cache()
+    val byDoc = fps.as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byDoc.get(1L) shouldBe None
+    byDoc(2L).size shouldBe 1
+    byDoc(3L).size shouldBe 1
+    // identical docs produce identical fingerprint sets
+    byDoc(5L) shouldBe byDoc(2L)
+    // winnowing guarantee: a shared word run of >= k + window - 1 = 11
+    // words forces at least one shared fingerprint. Doc 4 embeds doc 2's
+    // 8 words inside a longer run — 8 < 11 does NOT guarantee sharing,
+    // so assert the guarantee with a full 11-word shared run instead
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11"
+    val shared = TextQuality.winnowedFingerprints(docs(
+      (10L, "p1 p2 p3 " + run), (11L, run + " s1 s2 s3 s4")))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    shared(10L).intersect(shared(11L)) should not be empty
+  }
+
+  "overlapPairs" should "find contaminated pairs and honor the DF cap" in {
+    val passage = (1 to 20).map(i => s"t$i").mkString(" ")
+    val base = docs(
+      (1L, "alpha beta " + passage),
+      (2L, passage + " gamma delta"),
+      (3L, "completely different words " + (21 to 40).map(i => s"u$i").mkString(" ")))
+    val fps = TextQuality.winnowedFingerprints(base)
+    val pairs = TextQuality.overlapPairs(fps, minShared = 2, maxFpDf = 100)
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs.head._3 should be >= 2L
+
+    // a corpus-wide passage is exactly what the DF cap drops: 30 docs
+    // sharing one passage produce ZERO pairs at maxFpDf=10
+    val hot = docs((1L to 30L).map(i => i -> (s"pre$i " + passage)): _*)
+    TextQuality.overlapPairs(
+      TextQuality.winnowedFingerprints(hot), minShared = 1, maxFpDf = 10)
+      .count() shouldBe 0L
+
+    TextQuality.overlapPairs(fps, minShared = 1000).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      TextQuality.overlapPairs(fps, minShared = 0)
+  }
+}
