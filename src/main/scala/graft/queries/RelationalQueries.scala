@@ -585,6 +585,37 @@ object RelationalQueries {
       .agg(round(graft.functions.Scoring.harmonicSorted(collect_list(col("o_totalprice"))), 4).as("harmonic"))
   }
 
+  /** Z-order key (core.Layout.zorderKey, bits=8): min-max normalization
+    * from a one-row in-plan aggregate, then the Morton bit-interleave
+    * fold. The oracle replays the identical IEEE normalization and the
+    * unrolled shift/and/or interleave, so the whole layout key — the
+    * thing `writeZordered` range-partitions 100 TB by — is hash-checked
+    * bit-for-bit. LayoutSpec separately measures the payoff (per-file
+    * min-max ranges shrink on both dimensions).
+    */
+  val zorderKey: Q = {
+    val bits = 8
+    val interleave = (0 until bits).map(k =>
+      s"(((na >> $k) & 1) << ${2 * k}) | (((nb >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" | ")
+    Q(
+      "p14_zorder_key",
+      s"""WITH b AS (
+         |  SELECT min(CAST(doc_id AS DOUBLE)) AS mina, max(CAST(doc_id AS DOUBLE)) AS maxa,
+         |         min(CAST(n_chars AS DOUBLE)) AS minb, max(CAST(n_chars AS DOUBLE)) AS maxb
+         |  FROM documents)
+         |SELECT doc_id, CAST($interleave AS BIGINT) AS zkey FROM (
+         |  SELECT doc_id,
+         |    CAST(floor((CAST(doc_id AS DOUBLE) - mina) * 255 / greatest(maxa - mina, 1e-300)) AS BIGINT) AS na,
+         |    CAST(floor((CAST(n_chars AS DOUBLE) - minb) * 255 / greatest(maxb - minb, 1e-300)) AS BIGINT) AS nb
+         |  FROM documents CROSS JOIN b)""".stripMargin) { (s, dir) =>
+      graft.core.Layout.zorderKey(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", bits = bits)
+        .select(col("doc_id"), col("zkey"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, collectSorted, groupMinMax, countDistinctQ, distinctQ,
     keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
@@ -592,5 +623,5 @@ object RelationalQueries {
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs)
+    statsAggs, zorderKey)
 }
