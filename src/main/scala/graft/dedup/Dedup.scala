@@ -315,6 +315,35 @@ object Dedup {
         col("src1"), col("src2"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication for training corpora — cluster the embedding space
+    * with deterministic k-means (Ann.kmeansCells), compute cosine only
+    * WITHIN each cluster, and drop every vector that has a
+    * smaller-id near-duplicate (cos ≥ `tau`) in its cell. Returns the
+    * kept (vec_id, cell) rows.
+    *
+    * Scale shape: clustering bounds the pair candidates to Σ n_c² —
+    * the paper's own cost model; k grows with the corpus so cells stay
+    * bounded and the in-cell self-join is an equi-join on the cell key,
+    * never a cartesian. The keep rule (no smaller-id neighbor above
+    * tau) is deterministic and needs no transitive closure — one
+    * anti-join instead of an iterative clustering pass.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+      tau: Double = 0.95): DataFrame = {
+    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters)
+    val e = embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
+      .join(cells, Seq("vec_id"))
+    val dropped = e.select(col("vec_id").as("id1"), col("e").as("e1"), col("cell"))
+      .join(e.select(col("vec_id").as("id2"), col("e").as("e2"), col("cell")), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.VectorOps.cosine(col("e1"), col("e2")) >= tau)
+      .select(col("id2").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cell"))
+  }
+
   /** n-gram Jaccard pairs above `minJaccard`, via a shingle inverted
     * index: self-join on shingle → |A∩B|; per-doc set sizes → |A∪B|.
     * Shuffles on the shingle key, never N² pairs.

@@ -258,6 +258,54 @@ object VectorQueries {
         col("rank"))
   }
 
+  /** SemDeDup (Dedup.semanticDedup over a corpus with planted exact
+    * duplicate embeddings — every 10th vector re-inserted under
+    * id+1000000, so the semantic-dup set is PREDICTABLE at every scale
+    * factor): deterministic k-means cells, in-cell cosine, drop every
+    * vector with a smaller-id neighbor at cos ≥ 0.95. The oracle replays
+    * the full v6 k-means chain over the augmented corpus, then the same
+    * in-cell pair filter and anti-join.
+    */
+  val semanticDedup: Q = {
+    val k = 8
+    def argmaxSql(centsRel: String): String =
+      s"""SELECT vec_id, e, cell FROM (
+         |    SELECT r.vec_id, r.e, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY list_cosine_similarity(r.e, c.ce) DESC, c.cell) AS rn
+         |    FROM raw r CROSS JOIN $centsRel c) WHERE rn = 1""".stripMargin
+    Q(
+      "d11_semantic_dedup",
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM (
+         |    SELECT vec_id, embedding FROM embeddings
+         |    UNION ALL
+         |    SELECT vec_id + 1000000 AS vec_id, embedding
+         |    FROM embeddings WHERE vec_id % 10 = 0)),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS ce
+         |  FROM (SELECT vec_id, e FROM raw ORDER BY vec_id LIMIT $k)),
+         |assign1 AS (${argmaxSql("seeds")}),
+         |comps AS (
+         |  SELECT cell, dim, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT cell, generate_subscripts(e, 1) AS dim, unnest(e) AS v FROM assign1)
+         |  GROUP BY cell, dim),
+         |cents AS (SELECT cell, list(centroid ORDER BY dim) AS ce FROM comps GROUP BY cell),
+         |cells AS (${argmaxSql("cents")}),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.e, b.e) >= 0.95)
+         |SELECT vec_id, cell FROM cells
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val augmented = e.unionByName(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      graft.dedup.Dedup.semanticDedup(augmented, k = k, iters = 1, tau = 0.95)
+    }
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
-    kmeansCells, ivfNprobe, int8Quantize, int8Rerank)
+    kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup)
 }

@@ -149,4 +149,20 @@ class DedupSpec extends SparkSpec {
       .collect().toSet
     got shouldBe Set((4L, 200L, "src1", "srcX"))
   }
+
+  "semanticDedup" should "drop planted semantic duplicates and keep the min id" in {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    // two exact copies (of vec 4 and vec 9) under larger ids
+    val embs = (base :+ ((200L, base(4)._2)) :+ ((201L, base(9)._2)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(embs, k = 4, iters = 1, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    kept should contain allOf (4L, 9L)
+    kept should contain noneOf (200L, 201L)
+    kept.size shouldBe 30
+    // identical input -> identical keep set (determinism)
+    Dedup.semanticDedup(embs, k = 4, iters = 1, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet shouldBe kept
+  }
 }
