@@ -844,9 +844,12 @@ object TextQueries {
     * library default 0.5 would blank every query on THIS corpus (the
     * cap's filtering behavior itself is locked by TextSearchSpec).
     */
-  val bm25: Q = Q(
-    "x14_bm25_topk",
-    """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  /** The x14 BM25 CTE chain (d … agg: per-(query, doc) scores for docs
+    * 0–4's first-8-word queries) — shared verbatim with the x23 hybrid
+    * fusion oracle so the two lexical rankings can never drift.
+    */
+  private def bm25AggCtes: String =
+    """d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
       |           FROM documents),
       |dl AS (SELECT doc_id, len(w) AS dl FROM d),
       |stats AS (SELECT count(*) AS n_docs,
@@ -866,7 +869,11 @@ object TextQueries {
       |  JOIN dl ON dl.doc_id = tf.doc_id),
       |agg AS (SELECT query_id, doc_id,
       |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b) AS score
-      |  FROM scored GROUP BY query_id, doc_id)
+      |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+
+  val bm25: Q = Q(
+    "x14_bm25_topk",
+    s"""WITH $bm25AggCtes
       |SELECT query_id, doc_id, round(score, 6) AS score, CAST(rn AS INT) AS rank
       |FROM (SELECT query_id, doc_id, score,
       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
@@ -879,6 +886,58 @@ object TextQueries {
     graft.text.TextSearch.bm25TopK(docs, queries, k = 5, maxDfFraction = 0.8)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"),
         col("rank"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (TextSearch.rrfFuse):
+    * the BM25 ranking (x14's exact CTE chain, k=20) and a brute-force
+    * cosine ranking over the embeddings table (v1's formulation, k=20)
+    * fuse as Σ 1/(60 + rank) per list, top-5 per query. Queries are docs
+    * 0–4 on the lexical side and the aligned vec_ids 0–4 on the vector
+    * side. Absent ranks encode as 0 (a real rank is >= 1) so the result
+    * stays NULL-free for the hash compare. The RRF sum is a fixed
+    * two-term left-to-right chain on both engines.
+    */
+  val hybridRrf: Q = Q(
+    "x23_rrf_fusion",
+    s"""WITH $bm25AggCtes,
+      |lex AS (SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank
+      |  FROM (SELECT query_id, doc_id,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |        FROM agg)
+      |  WHERE rn <= 20),
+      |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |       FROM embeddings WHERE vec_id < 5),
+      |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+      |vec AS (SELECT query_id, doc_id, CAST(rn AS INT) AS vec_rank
+      |  FROM (SELECT query_id, doc_id,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY list_cosine_similarity(qe, ne) DESC, doc_id) AS rn
+      |        FROM qv CROSS JOIN cv WHERE query_id <> doc_id)
+      |  WHERE rn <= 20),
+      |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(l.lex_rank, 0) AS lex_rank, coalesce(v.vec_rank, 0) AS vec_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
+      |  FROM lex l FULL JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+      |SELECT query_id, doc_id, lex_rank, vec_rank, round(rrf, 9) AS rrf,
+      |  CAST(rn AS INT) AS rank
+      |FROM (SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+      |      FROM fused)
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        slice(filter(split(col("text"), " "), w => w =!= ""), 1, 8).as("terms"))
+    val lex = graft.text.TextSearch.bm25TopK(docs, queries, k = 20, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val e = t(s, dir, "embeddings")
+    val vec = graft.ann.Ann.bruteForceKnn(e, e.filter(col("vec_id") < 5), k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.text.TextSearch.rrfFuse(lex, vec, k = 5)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(col("rrf"), 9).as("rrf"), col("rank"))
   }
 
   /** PII scrubbing (TextAnalysis.redactPii): the testdata corpus carries
@@ -1022,6 +1081,6 @@ object TextQueries {
     textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
-    mixtureSample, repetition, bm25, piiRedact, incrementalMinhash,
+    mixtureSample, repetition, bm25, hybridRrf, piiRedact, incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap)
 }

@@ -128,6 +128,37 @@ object TextSearch {
     * whose per-key row count is bounded by document length — never a
     * corpus-wide funnel.
     */
+  /** Reciprocal-rank fusion of a lexical and a vector ranking — the
+    * standard hybrid-retrieval combiner (Cormack et al., SIGIR 2009):
+    * rrf(d) = Σ_lists 1 / (kRrf + rank_list(d)), summing only over lists
+    * that ranked d. Both inputs are (query_id, doc_id, rank) as produced
+    * by bm25TopK / Ann.bruteForceKnn; returns the fused top `k` per query
+    * as (query_id, doc_id, lex_rank, vec_rank, rrf, rank) with absent
+    * ranks encoded as 0 (a real rank is always >= 1).
+    *
+    * Scale shape: both inputs are already top-k-bounded per query by
+    * their own two-phase windows, so the full-outer join here keys on
+    * (query_id, doc_id) over at most k_lex + k_vec rows per query — the
+    * fusion cost tracks the query count, never the corpus. The RRF sum
+    * is a fixed left-to-right two-term chain (lex first), so every
+    * engine computes bit-identical scores; the final window partitions
+    * by query over <= k_lex + k_vec candidates.
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val v = vec.select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(kRrf) + r), lit(0.0))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = termFreqs(docs).filter(col("term").isNotNull)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -58,4 +58,38 @@ class TextSearchSpec extends SparkSpec {
     top.filter(col("doc_id") === 5L && col("term") === "tomato")
       .select("score").as[Double].head() shouldBe 4.0
   }
+
+  "rrfFuse" should "score both-list docs by the exact two-term RRF sum" in {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = TextSearch.rrfFuse(lex, vec, k = 10).cache()
+    val byDoc = fused.select("doc_id", "rrf").as[(Long, Double)].collect().toMap
+    byDoc(10L) shouldBe (1.0 / 61 + 1.0 / 62)
+    byDoc(11L) shouldBe (1.0 / 62)
+    byDoc(12L) shouldBe (1.0 / 61)
+    // doc 10 appears in both lists — it must out-rank every single-list doc
+    fused.filter(col("rank") === 1).select("doc_id").as[Long].head() shouldBe 10L
+  }
+
+  it should "keep single-list docs with the absent rank encoded as 0" in {
+    val lex = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 12L, 1), (2L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val fused = TextSearch.rrfFuse(lex, vec, k = 10).cache()
+    fused.count() shouldBe 3
+    fused.filter(col("query_id") === 1L && col("doc_id") === 10L)
+      .select("vec_rank").as[Int].head() shouldBe 0
+    fused.filter(col("query_id") === 2L && col("doc_id") === 10L)
+      .select("lex_rank").as[Int].head() shouldBe 0
+    // per-query top-k: ranks dense from 1 within each query
+    fused.filter(col("rank") === 1).count() shouldBe 2
+  }
+
+  it should "truncate to the fused top k per query" in {
+    val lex = (1 to 8).map(i => (1L, i.toLong, i)).toDF("query_id", "doc_id", "rank")
+    val vec = (1 to 8).map(i => (1L, (i + 100).toLong, i)).toDF("query_id", "doc_id", "rank")
+    val fused = TextSearch.rrfFuse(lex, vec, k = 3)
+    fused.count() shouldBe 3
+    // equal-rank lex/vec docs tie on rrf — doc_id breaks the tie
+    fused.orderBy("rank").select("doc_id").as[Long].collect() shouldBe Array(1L, 101L, 2L)
+  }
 }
