@@ -443,6 +443,41 @@ object TextQueries {
           .cast("long").as("n_words"))
   }
 
+  /** Intra-document repetition removal (TextAnalysis.firstOccurrences
+    * over TextAnalysis.sentences): repeated sentences inside one document
+    * are dropped after their first appearance, order preserved — the
+    * within-doc twin of corpus-level dedup (templated boilerplate,
+    * looping generator output). Entirely map-side on the Spark side —
+    * no explode, no shuffle; the oracle replays it relationally
+    * (explode + min(pos) + ordered string_agg). The cleaned text is
+    * compared by md5 so the result stays scalar-typed.
+    */
+  val sentenceDedup: Q = Q(
+    "x24_sentence_dedup",
+    """WITH s AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+      |              x -> length(x) > 0) AS sents
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(sents) AS sent,
+      |             generate_subscripts(sents, 1) AS pos FROM s),
+      |firsts AS (SELECT doc_id, sent, min(pos) AS pos FROM e GROUP BY doc_id, sent),
+      |agg AS (SELECT doc_id, count(*) AS n_unique,
+      |        string_agg(sent, ' ' ORDER BY pos) AS cleaned
+      |        FROM firsts GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(len(s.sents) AS INT) AS n_sents,
+      |  CAST(coalesce(agg.n_unique, 0) AS INT) AS n_unique,
+      |  md5(coalesce(agg.cleaned, '')) AS clean_md5
+      |FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.sentences(col("text")).as("sents"))
+      .select(col("doc_id"), col("sents"),
+        TextAnalysis.firstOccurrences(col("sents")).as("uniq"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sents"),
+        size(col("uniq")).as("n_unique"),
+        md5(concat_ws(" ", col("uniq"))).as("clean_md5"))
+  }
+
   /** Boilerplate n-gram detection (Dedup.hotShingles): top-k shingles by
     * document frequency over the near-dup-augmented corpus — what the
     * jaccard DF cap drops, surfaced for cleaning.
@@ -1078,7 +1113,7 @@ object TextQueries {
     simhashPairsComb, ngramJaccardPairs, dedupClusters, embeddingNearDups,
     langId, qualityScore,
     tokenStats, fingerprint,
-    textKeys, stemmedKeys, sentenceSplit, hashSplit, stratifiedSample,
+    textKeys, stemmedKeys, sentenceSplit, sentenceDedup, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
     mixtureSample, repetition, bm25, hybridRrf, piiRedact, incrementalMinhash,

@@ -148,4 +148,21 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(tg)).cast("double") / size(tg))
       .otherwise(lit(0.0))
   }
+
+  /** Sentence array of `text`: split on sentence punctuation, trim, drop
+    * empties — the x5 segmentation as a reusable array column.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => length(s) > 0)
+
+  /** Order-preserving first occurrences of `arr`'s elements — the
+    * intra-document exact repetition remover (templated/boilerplate
+    * sentences repeated inside one document get dropped after their
+    * first appearance, everything else keeps its position). Entirely
+    * map-side: no explode, no shuffle — the quadratic membership probe
+    * runs over a single document's sentence array, never corpus scale,
+    * so the operator costs one narrow pass at any corpus size.
+    */
+  def firstOccurrences(arr: Column): Column =
+    filter(arr, (x, i) => array_position(slice(arr, lit(1), i), x) === 0)
 }
