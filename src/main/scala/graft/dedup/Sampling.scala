@@ -49,6 +49,52 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /** Contrastive training triples (anchor, positive, negative) from a
+    * near-duplicate pairs table — the embedding-model training-set miner:
+    * each candidate pair (id1, id2) becomes anchor/positive, and the
+    * negative is a deterministic pseudo-random corpus pick via a
+    * hash-bucket join, never a corpus × pairs cross join. Docs are
+    * bucketed by their id's md5 into ~n/perBucket buckets (an in-plan
+    * count, broadcast back); each pair targets the bucket of its own
+    * pair-key hash and takes the candidate minimizing a per-pair md5 key
+    * (min_by — combinable), excluding the pair's own two docs. A pair
+    * whose target bucket holds only its own docs drops out —
+    * deterministic, and vanishingly rare at any realistic perBucket.
+    *
+    * Scale shape: bucketing and key arithmetic are map-side; the wide
+    * ops are one equi-join on the bucket key (per-pair fan-out bounded
+    * by ~perBucket) and one combinable min_by aggregation. No global
+    * row-numbering and no dense-id assumption, so sparse/hashed id
+    * domains work unchanged.
+    */
+  def contrastiveTriples(docs: DataFrame, idCol: String, pairs: DataFrame,
+      perBucket: Int = 16): DataFrame = {
+    require(perBucket > 0, "perBucket must be positive")
+    val nB = docs.agg(
+      greatest(lit(1L), (count(lit(1)) / lit(perBucket)).cast("long")).as("n_buckets"))
+    val bucketed = docs.select(col(idCol).as("cand_id"))
+      .crossJoin(broadcast(nB))
+      .select(col("cand_id"),
+        (hashBucket16(col("cand_id")) % col("n_buckets")).as("bucket"))
+    val pairKey = concat_ws("_",
+      col("anchor_id").cast("string"), col("positive_id").cast("string"))
+    val keyed = pairs
+      .select(col("id1").as("anchor_id"), col("id2").as("positive_id"))
+      .crossJoin(broadcast(nB))
+      .select(col("anchor_id"), col("positive_id"),
+        (hashBucket16(pairKey) % col("n_buckets")).as("bucket"))
+    // per-(pair, candidate) key: unique by the appended candidate id, so
+    // min_by is total-ordered and both engines pick the identical negative
+    val candKey = concat(
+      md5(concat_ws("_", col("anchor_id").cast("string"),
+        col("positive_id").cast("string"), col("cand_id").cast("string"))),
+      col("cand_id").cast("string"))
+    keyed.join(bucketed, "bucket")
+      .filter(col("cand_id") =!= col("anchor_id") && col("cand_id") =!= col("positive_id"))
+      .groupBy(col("anchor_id"), col("positive_id"))
+      .agg(min_by(col("cand_id"), candKey).as("negative_id"))
+  }
+
   /** Sequence packing: assign documents, in id order, to fixed
     * token-budget training context windows ("packs"). Each doc's pack is
     * `floor(exclusive-prefix-sum(sizes) / budget)` — the contiguous-fill

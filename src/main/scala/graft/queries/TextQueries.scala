@@ -606,6 +606,63 @@ object TextQueries {
     }
   }
 
+  /** Raw 16-bit md5-nibble bucket of an arbitrary string SQL expression —
+    * the DuckDB twin of Sampling.hashBucket16 (bucketSql is the %100
+    * variant over a casted id).
+    */
+  private def bucket16Sql(strExpr: String): String = {
+    def nib(k: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($strExpr), ${k + 1}, 1)) - 1)"
+    s"(${nib(0)} * 4096 + ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)})"
+  }
+
+  /** Contrastive triple mining (Sampling.contrastiveTriples): MinHash-LSH
+    * near-dup candidates become (anchor, positive); the negative is the
+    * deterministic hash-bucket pick — bucket of the pair-key hash, then
+    * min_by over a per-pair md5 key with the pair's own docs excluded.
+    * The oracle replays the d3 banding chain verbatim plus the identical
+    * nibble/bucket/min_by arithmetic, so all three ids hash-match.
+    */
+  val contrastiveTriples: Q = {
+    val bandsSql = (1 to numPerms).grouped(2)
+      .map(g => s"md5(${g.map(h => s"sig$h").mkString(" || ")})").mkString(", ")
+    val perBucket = 16
+    Q(
+      "x25_contrastive_triples",
+      s"""WITH corpus AS ($corpusSql),
+         |sigs AS (
+         |  SELECT doc_id, $sigSelectSql
+         |  FROM ($hashedShinglesSql)
+         |  GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandsSql]) AS band FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS anchor_id, b.doc_id AS positive_id
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |nb AS (SELECT greatest(1, count(*) // $perBucket) AS n_buckets FROM corpus),
+         |bucketed AS (
+         |  SELECT doc_id AS cand_id,
+         |    ${bucket16Sql("CAST(doc_id AS VARCHAR)")} % n_buckets AS bucket
+         |  FROM corpus, nb),
+         |keyed AS (
+         |  SELECT anchor_id, positive_id,
+         |    ${bucket16Sql("CAST(anchor_id AS VARCHAR) || '_' || CAST(positive_id AS VARCHAR)")}
+         |      % n_buckets AS bucket
+         |  FROM pairs, nb)
+         |SELECT anchor_id, positive_id,
+         |  min_by(cand_id,
+         |    md5(CAST(anchor_id AS VARCHAR) || '_' || CAST(positive_id AS VARCHAR) ||
+         |        '_' || CAST(cand_id AS VARCHAR)) || CAST(cand_id AS VARCHAR)) AS negative_id
+         |FROM keyed JOIN bucketed USING (bucket)
+         |WHERE cand_id <> anchor_id AND cand_id <> positive_id
+         |GROUP BY anchor_id, positive_id""".stripMargin) { (s, dir) =>
+      val c = corpus(s, dir)
+      val pairs = Dedup.minhashCandidates(Dedup.minhashSignatures(c))
+        .select(col("doc1").as("id1"), col("doc2").as("id2"))
+      graft.dedup.Sampling.contrastiveTriples(c, "doc_id", pairs, perBucket = perBucket)
+    }
+  }
+
   /** The composed training-corpus cleaning pipeline
     * (graft.pipelines.CorpusClean): language filter → quality gate →
     * exact canonicalization → near-dup loser removal → deterministic
@@ -1117,5 +1174,5 @@ object TextQueries {
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
     mixtureSample, repetition, bm25, hybridRrf, piiRedact, incrementalMinhash,
-    gopherStats, winnowedFps, spanOverlap)
+    gopherStats, winnowedFps, spanOverlap, contrastiveTriples)
 }

@@ -243,4 +243,38 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5))
       .filter(col("lang") === "de").count() shouldBe 0
   }
+
+  "contrastiveTriples" should "emit one valid negative per pair, deterministically" in {
+    val corpus = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (10L, 20L)).toDF("id1", "id2")
+    val triples = Sampling.contrastiveTriples(corpus, "doc_id", pairs).cache()
+    triples.count() shouldBe 3
+    // the negative exists in the corpus and never equals anchor/positive
+    triples.as[(Long, Long, Long)].collect().foreach { case (a, p, n) =>
+      n should be >= 0L
+      n should be < 200L
+      n should not be a
+      n should not be p
+    }
+    // pure function of (corpus, pairs): a rerun picks identical negatives
+    val again = Sampling.contrastiveTriples(corpus, "doc_id", pairs)
+    triples.join(again.withColumnRenamed("negative_id", "n2"),
+      Seq("anchor_id", "positive_id"))
+      .filter(col("negative_id") =!= col("n2")).count() shouldBe 0
+  }
+
+  it should "vary negatives across pairs and drop a pair only when its bucket is exhausted" in {
+    val corpus = (0L until 256L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (0L until 40L).map(i => (i, i + 100L)).toDF("id1", "id2")
+    val negs = Sampling.contrastiveTriples(corpus, "doc_id", pairs)
+      .select("negative_id").as[Long].collect()
+    negs.length shouldBe 40
+    // hash-bucket picks must not collapse to one corpus doc
+    negs.distinct.length should be > 10
+    // two-doc corpus, the pair IS the corpus: the only bucket candidates
+    // are excluded, so the pair drops instead of fabricating a negative
+    val tiny = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
+    Sampling.contrastiveTriples(tiny, "doc_id", Seq((0L, 1L)).toDF("id1", "id2"))
+      .count() shouldBe 0
+  }
 }
