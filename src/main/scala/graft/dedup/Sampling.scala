@@ -245,4 +245,41 @@ object Sampling {
           .as("take_tokens"),
         (spanStart - col("start")).as("doc_offset"))
   }
+
+  /** Materialized packed training sequences — the last step of the
+    * packing pipeline: [[sequencePackSpans]] assignments joined back to
+    * each document's token array, span slices concatenated in pack-offset
+    * order into one `tokens` array per context window. Every interior
+    * pack holds exactly `budget` tokens (the spans tile — locked by
+    * SamplingSpec); only the final pack may be short. Zero-token spans
+    * (empty documents) contribute nothing to shard content and are
+    * dropped before assembly so per-pack offsets are unique.
+    *
+    * Scale shape: the spans side inherits sequencePacks' two-level
+    * prefix sum; the only new wide ops are the id-keyed join back to the
+    * token arrays and one groupBy(pack_id) whose per-key payload is
+    * bounded by `budget` tokens plus ~budget/avg_doc_len span structs —
+    * a constant per training window, independent of corpus size. The
+    * ordered assembly is array_sort + flatten over that bounded list,
+    * not a window.
+    */
+  def packedShards(df: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, numRanges: Int = 4096): DataFrame = {
+    val toks = df.select(col(idCol), tokensCol.as("_toks"))
+    val spans = sequencePackSpans(toks, idCol, size(col("_toks")), budget, numRanges)
+    spans
+      .filter(col("take_tokens") > 0)
+      .join(toks, Seq(idCol))
+      .select(col("pack_id"), col("offset_in_pack"),
+        slice(col("_toks"), (col("doc_offset") + 1).cast("int"),
+          col("take_tokens").cast("int")).as("piece"))
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("offset_in_pack"), col("piece")))),
+          x => x.getField("piece"))).as("tokens"))
+      .select(col("pack_id"), col("n_spans"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
+  }
 }

@@ -817,6 +817,55 @@ object TextQueries {
     }
   }
 
+  /** Materialized packed sequences (Sampling.packedShards): the x16 span
+    * assignments joined back to token arrays and assembled into one
+    * token sequence per context window — what a packed-dataset writer
+    * actually emits. Shard content is compared by md5 of the
+    * space-joined token stream; every interior pack carries exactly
+    * `budget` tokens. The oracle replays the same global cumsum, span
+    * arithmetic, list slicing, and offset-ordered concatenation.
+    */
+  val packedShards: Q = {
+    val budget = 512L
+    Q(
+      "x26_packed_shards",
+      s"""WITH toks AS (SELECT doc_id,
+         |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS w
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS tokens,
+         |    CAST(COALESCE(sum(len(w)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, pack,
+         |    greatest(start, pack * $budget) - pack * $budget AS off,
+         |    least(start + tokens, (pack + 1) * $budget)
+         |      - greatest(start, pack * $budget) AS take,
+         |    greatest(start, pack * $budget) - start AS doff
+         |  FROM (
+         |    SELECT doc_id, tokens, start,
+         |      unnest(range(start // $budget,
+         |                   greatest(start // $budget, (start + tokens - 1) // $budget) + 1)) AS pack
+         |    FROM cum)),
+         |pieces AS (
+         |  SELECT s.pack, s.off, s.take,
+         |    array_to_string(t.w[s.doff + 1 : s.doff + s.take], ' ') AS piece
+         |  FROM spans s JOIN toks t USING (doc_id) WHERE s.take > 0)
+         |SELECT CAST(pack AS BIGINT) AS pack_id,
+         |  count(*) AS n_spans,
+         |  CAST(sum(take) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(piece, ' ' ORDER BY off)) AS shard_md5
+         |FROM pieces GROUP BY pack""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.packedShards(
+        t(s, dir, "documents"), "doc_id",
+        regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)),
+        budget = budget, numRanges = 16)
+        .select(col("pack_id"), col("n_spans"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("shard_md5"))
+    }
+  }
+
   /** Deterministic corpus shuffle (Sampling.shuffleOrder): stable
     * pseudo-random training order by ranking on md5(id) — the oracle IS
     * the corpus-wide `row_number` the operator refuses to run as one
@@ -1172,7 +1221,7 @@ object TextQueries {
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, sentenceDedup, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
-    sequencePacking, sequencePackSpans, shuffleOrder, tfidfTerms,
+    sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
     mixtureSample, repetition, bm25, hybridRrf, piiRedact, incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples)
 }

@@ -244,6 +244,41 @@ class SamplingSpec extends SparkSpec {
       .filter(col("lang") === "de").count() shouldBe 0
   }
 
+  "packedShards" should "fill every interior pack exactly and concatenate docs in order" in {
+    // doc i has i+1 tokens "d<i>t<j>" — unique everywhere, so shard
+    // content proves ordering, not just counts
+    val tokDocs = (0L until 50L)
+      .map(i => (i, (0L to i).map(j => s"d${i}t$j")))
+      .toDF("doc_id", "toks")
+    val budget = 64L
+    val shards = Sampling.packedShards(tokDocs, "doc_id", col("toks"),
+      budget = budget, numRanges = 8).cache()
+
+    val total = (1 to 50).map(_.toLong).sum   // 1275 tokens
+    val nPacks = (total + budget - 1) / budget
+    shards.count() shouldBe nPacks
+    // interior packs hold exactly `budget`; the last holds the remainder
+    val sizes = shards.select("pack_id", "n_tokens").as[(Long, Long)].collect().toMap
+    (0L until nPacks - 1).foreach(p => sizes(p) shouldBe budget)
+    sizes(nPacks - 1) shouldBe total - budget * (nPacks - 1)
+
+    // global concatenation in pack order replays every doc's tokens in
+    // doc-id order with no loss at straddle boundaries
+    val streamed = shards.orderBy("pack_id")
+      .select("tokens").as[Seq[String]].collect().flatten
+    val expected = (0L until 50L).flatMap(i => (0L to i).map(j => s"d${i}t$j"))
+    streamed shouldBe expected
+  }
+
+  it should "drop empty documents from shard content" in {
+    val tokDocs = Seq((0L, Seq("a", "b")), (1L, Seq.empty[String]), (2L, Seq("c")))
+      .toDF("doc_id", "toks")
+    val shards = Sampling.packedShards(tokDocs, "doc_id", col("toks"), budget = 10L)
+    shards.count() shouldBe 1
+    shards.select("tokens").as[Seq[String]].head() shouldBe Seq("a", "b", "c")
+    shards.select("n_spans").as[Long].head() shouldBe 2
+  }
+
   "contrastiveTriples" should "emit one valid negative per pair, deterministically" in {
     val corpus = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 4L), (10L, 20L)).toDF("id1", "id2")
