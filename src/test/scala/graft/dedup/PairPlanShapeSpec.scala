@@ -67,6 +67,24 @@ class PairPlanShapeSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  "Sampling.contrastiveTriples" should "join on the bucket key, not a cartesian" in {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    // the two 1-row n_buckets crossJoins broadcast a count — exclude
+    // cartesians only, like the bm25 stats join
+    val p = plan(Sampling.contrastiveTriples(docs, "doc_id", pairs))
+    p should not include "CartesianProduct"
+  }
+
+  "Sampling.packedShards" should "aggregate per pack with no corpus-wide window" in {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val p = plan(Sampling.packedShards(toks, "doc_id", col("w"), budget = 64L,
+      numRanges = 8))
+    p should not include "CartesianProduct"
+    // the only unpartitioned window is the <= numRanges offset table; a
+    // corpus-wide ordered window would show a global sort of the doc rows
+    "windowspecdefinition\\(doc_id".r.findAllIn(p.toLowerCase).size shouldBe 0
+  }
+
   it should "bound the per-query top-k structurally via a shard-local phase" in {
     val queries = Seq((1L, Seq("p1w1", "p2w2"))).toDF("query_id", "terms")
     val df = graft.text.TextSearch.bm25TopK(docs, queries, k = 3, shards = 8)
