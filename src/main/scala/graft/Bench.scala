@@ -39,7 +39,16 @@ object Bench {
     // normal-looking elapsed time; reps run back-to-back per query and
     // the min wins (a rep that fails is skipped — only an all-reps
     // failure reports the sentinel)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — time just a
+    // subset (e.g. to fill baseline entries for newly added queries
+    // without re-running the whole suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {

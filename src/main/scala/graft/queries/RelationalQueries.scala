@@ -593,6 +593,19 @@ object RelationalQueries {
     * bit-for-bit. LayoutSpec separately measures the payoff (per-file
     * min-max ranges shrink on both dimensions).
     */
+  /** Two-phase salted hot-key aggregation (core.Skew.saltedCount) over
+    * lineitem's 3-value return flag — the single-hot-reducer case AQE
+    * does not split. The salt spreads each hot key over 16 partial
+    * reducers; re-aggregation by key restores exact counts, which the
+    * plain GROUP BY oracle verifies.
+    */
+  val saltedCount: Q = Q(
+    "a17_salted_count",
+    """SELECT l_returnflag, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    graft.core.Skew.saltedCount(t(s, dir, "lineitem"), Seq("l_returnflag"))
+  }
+
   val zorderKey: Q = {
     val bits = 8
     val interleave = (0 until bits).map(k =>
@@ -623,5 +636,5 @@ object RelationalQueries {
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs, zorderKey)
+    statsAggs, saltedCount, zorderKey)
 }
