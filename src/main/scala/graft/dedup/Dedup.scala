@@ -331,7 +331,12 @@ object Dedup {
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
       tau: Double = 0.95): DataFrame = {
-    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters)
+    // the (vec_id, cell) assignment feeds BOTH sides of the in-cell
+    // self-join and the final anti-join; without the cut Catalyst
+    // re-executes the full Lloyd chain once per consumer (measured 3×
+    // in the d11 plan). Two id columns per row — far cheaper to hold
+    // than to recompute, the termFreqs/clusters() discipline.
+    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters).localCheckpoint(false)
     val e = embeddings
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))

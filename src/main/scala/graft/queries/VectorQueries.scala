@@ -265,9 +265,15 @@ object VectorQueries {
     * vector with a smaller-id neighbor at cos ≥ 0.95. The oracle replays
     * the full v6 k-means chain over the augmented corpus, then the same
     * in-cell pair filter and anti-join.
+    *
+    * k = 64, not v6's demo 8: SemDeDup's cost model is Σ n_c² in-cell
+    * pairs, so k must grow with the corpus — at sf0.1's ~55k augmented
+    * vectors, k=8 meant ~380M cosine pairs where k=64 pays ~48M for the
+    * same planted-duplicate recall (the assignment crossJoin grows only
+    * linearly in k and stays broadcast).
     */
   val semanticDedup: Q = {
-    val k = 8
+    val k = 64
     def argmaxSql(centsRel: String): String =
       s"""SELECT vec_id, e, cell FROM (
          |    SELECT r.vec_id, r.e, c.cell,
