@@ -120,8 +120,13 @@ object ScaleSoak {
     val corpus = documents(spark, docs)
     val emb = embeddings(spark, vecs, dim)
 
+    // GRAFT_SOAK_STAGES: comma-separated stage names — run a subset (new
+    // stages get their growth curves without re-running settled ones)
+    val onlyStages = sys.env.get("GRAFT_SOAK_STAGES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     var results = Vector.empty[(String, Double, Long, Long, Long)]
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Long): Unit = if (onlyStages.forall(_(name))) {
       val (s0, p0) = (shuffleBytes.get, spillBytes.get)
       val t0 = System.nanoTime()
       val rows = f
@@ -163,6 +168,25 @@ object ScaleSoak {
       graft.ann.Ann.ivfSearch(indexed, "label", queries, k = 10, nprobe = 2).count()
     }
     timed("int8_quantize") { sinkCount(graft.ann.Ann.quantizeInt8(emb)) }
+    timed("shuffle_order") {
+      sinkCount(graft.dedup.Sampling.shuffleOrder(corpus.select("doc_id"), "doc_id"))
+    }
+    timed("packed_shards") {
+      // whitespace words as the token stream (~38/doc): the two-level
+      // prefix sum, straddle-split explode, and bounded per-pack
+      // assembly are what the growth curve must prove out
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+      graft.dedup.Sampling.packedShards(toks, "doc_id", col("w"), budget = 2048L)
+        .count()
+    }
+    timed("contrastive_triples") {
+      // pairs straight from the planted 50-block dup structure (the
+      // minhash stage already times candidate generation itself)
+      val pairs = spark.range(docs).filter(col("id") % 50 === 1)
+        .select((col("id") - 1).as("id1"), col("id").as("id2"))
+      graft.dedup.Sampling.contrastiveTriples(
+        corpus.select("doc_id"), "doc_id", pairs).count()
+    }
 
     val total = results.map(_._2).sum
     val stages = results.map { case (n, s, sh, sp, r) =>
