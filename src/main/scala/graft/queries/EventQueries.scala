@@ -99,6 +99,44 @@ object EventQueries {
       .select(col("event_id"), col("user_id"), (col("tu") - lag(col("tu"), 1).over(w)).as("delta_us"))
   }
 
+  /** Per-user exponentially-decayed value (EWMA) — the recency-weighted
+    * engagement/importance signal: events fold in (ts, event_id) order
+    * and the running value halves per whole HOUR of gap before adding
+    * the next event's value (ew' = v + ew / 2^k, k = gap hours capped at
+    * 62). Every step is EXACT in IEEE doubles — the decay is a division
+    * by a power of two and the gap count is integer `div` — so both
+    * engines produce bit-identical results with no rounding tolerance
+    * anywhere. One combinable shuffle on user_id; the ordered fold runs
+    * over each user's own event list, never a corpus-wide window.
+    */
+  val ewmaDecay: Q = Q(
+    "e13_ewma_decay",
+    """WITH s AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    list({'tu': epoch_us(ts), 'eid': event_id, 'v': value}
+      |         ORDER BY epoch_us(ts), event_id) AS a
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  list_reduce(a, (acc, x) -> {'tu': x.tu, 'eid': acc.eid,
+      |    'v': x.v + acc.v / CAST(1::BIGINT <<
+      |           CAST(least((x.tu - acc.tu) // 3600000000, 62) AS INT) AS DOUBLE)}).v
+      |    AS ewma
+      |FROM s""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"), tsMicros.as("tu"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("tu"), col("event_id").as("eid"),
+          col("value").as("v")))).as("a"))
+      .select(col("user_id"), col("n_events"),
+        expr("""aggregate(a,
+          |  named_struct('tu', a[0].tu, 'v', cast(0 as double)),
+          |  (acc, x) -> named_struct('tu', x.tu,
+          |    'v', x.v + acc.v / cast(shiftleft(cast(1 as bigint),
+          |           cast(least((x.tu - acc.tu) div 3600000000, 62) as int)) as double)),
+          |  acc -> acc.v)""".stripMargin).as("ewma"))
+  }
+
   /** Pivot: per-user event-type counts as columns. Spark's relational
     * pivot operator; the oracle spells out the equivalent conditional
     * aggregation.
@@ -307,7 +345,7 @@ object EventQueries {
       .agg(count(lit(1)).as("users"))
   }
 
-  val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, pivotCounts,
-    rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed, funnel,
-    cohortRetention)
+  val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
+    pivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
+    funnel, cohortRetention)
 }
