@@ -180,6 +180,37 @@ object Sampling {
       .drop("_w", "_toks")
   }
 
+  /** Temperature-based source rebalancing — the multilingual α-power
+    * mix (rate_s derived from n_s^α, α = 1/2): low-resource strata are
+    * up-weighted relative to their share, the standard smoothing between
+    * proportional (α=1) and uniform (α=0) sampling. Weights are
+    * w_s = √n_s / Σ_t √n_t and each stratum keeps rows at
+    * min(1, budget·w_s / n_s) by id hash. α is FIXED at 1/2 because IEEE
+    * requires sqrt to be correctly rounded on every engine while
+    * pow(x, α) is not — the whole keep-set stays bit-exact
+    * cross-engine. The normalizer Σ √n_t folds in stratum order over
+    * the tiny per-stratum table so the double sum is
+    * order-deterministic. Map-side except two stratum-count
+    * aggregations broadcast back; selection granularity is the 16-bit
+    * id bucket, as in [[mixtureSample]].
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      sizeCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = df.select(col(strataCol), sizeCol.cast("long").as("_toks"))
+      .groupBy(col(strataCol)).agg(sum(col("_toks")).as("_toks"))
+      .withColumn("_w", sqrt(col("_toks").cast("double")))
+    val z = totals.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(strataCol).as("s"), col("_w").as("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("_z"))
+    val rate = least(lit(1.0), lit(budget) * col("_w") / col("_z") / col("_toks"))
+    df.join(broadcast(totals), Seq(strataCol))
+      .crossJoin(broadcast(z))
+      .filter(hashBucket16(col(idCol)).cast("double") < rate * 65536.0)
+      .drop("_toks", "_w", "_z")
+  }
+
   /** Deterministic corpus shuffle — the training-order primitive: every
     * row gets a stable pseudo-random 0-based `position` (the order a
     * packed-dataset writer consumes documents in) by ranking rows on the

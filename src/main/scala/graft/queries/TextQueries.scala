@@ -942,6 +942,34 @@ object TextQueries {
     }
   }
 
+  /** Temperature-based source rebalancing (Sampling.temperatureSample):
+    * rates derived from per-stratum token mass via √n smoothing —
+    * α = 1/2 exactly because sqrt is IEEE-correctly-rounded on both
+    * engines (pow is not), so the keep-set hash-matches bit-for-bit.
+    * The oracle replays the ordered normalizer fold and the identical
+    * division chain.
+    */
+  val temperatureSample: Q = {
+    val budget = 20000L
+    Q(
+      "x27_temperature_sample",
+      s"""WITH totals AS (
+         |  SELECT source, sum(CAST(n_chars AS BIGINT)) AS toks,
+         |    sqrt(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)) AS w
+         |  FROM documents GROUP BY source),
+         |z AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+         |             (a, b) -> a + b) AS z
+         |      FROM totals)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN totals t USING (source), z
+         |WHERE ${bucket16Sql("CAST(d.doc_id AS VARCHAR)")}
+         |  < least(1.0, $budget * t.w / z.z / t.toks) * 65536.0""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.temperatureSample(
+        t(s, dir, "documents"), "doc_id", "source", col("n_chars"), budget = budget)
+        .select(col("doc_id"), col("source"))
+    }
+  }
+
   /** Intra-document repetition ratio (TextAnalysis.repetitionRatio):
     * 1 − distinct/total word trigrams — the Gopher-style repetitious-text
     * quality filter, entirely map-side. The oracle replays the identical
@@ -1222,6 +1250,7 @@ object TextQueries {
     textKeys, stemmedKeys, sentenceSplit, sentenceDedup, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
-    mixtureSample, repetition, bm25, hybridRrf, piiRedact, incrementalMinhash,
+    mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
+    incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples)
 }

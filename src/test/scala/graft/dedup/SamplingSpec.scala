@@ -244,6 +244,32 @@ class SamplingSpec extends SparkSpec {
       .filter(col("lang") === "de").count() shouldBe 0
   }
 
+  "temperatureSample" should "up-weight low-resource strata relative to proportional sampling" in {
+    // 16k 'big' docs vs 1k 'small' docs, 1 token each; budget 4k tokens.
+    // sqrt smoothing: w_big = 4/(4+1)·4k/16k = 0.2, w_small = 1/5·4k/1k = 0.8
+    val docs = ((0L until 16000L).map(i => (i, "big", 1L)) ++
+      (16000L until 17000L).map(i => (i, "small", 1L)))
+      .toDF("doc_id", "source", "n")
+    val kept = Sampling.temperatureSample(docs, "doc_id", "source", col("n"),
+      budget = 4000L).cache()
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // small keeps ~80% of its docs, big ~20% — the α=1/2 flattening
+    bySrc("small").toDouble shouldBe 800.0 +- 100.0
+    bySrc("big").toDouble shouldBe 3200.0 +- 300.0
+    // deterministic: identical keep set on rerun
+    val again = Sampling.temperatureSample(docs, "doc_id", "source", col("n"),
+      budget = 4000L)
+    kept.select("doc_id").except(again.select("doc_id")).count() shouldBe 0
+  }
+
+  it should "keep every row of a stratum whose derived rate reaches 1" in {
+    val docs = ((0L until 100L).map(i => (i, "a", 100L)) ++
+      (100L until 200L).map(i => (i, "b", 1L))).toDF("doc_id", "source", "n")
+    // budget >> corpus: every rate clamps to 1, nothing is dropped
+    Sampling.temperatureSample(docs, "doc_id", "source", col("n"),
+      budget = 1000000L).count() shouldBe 200
+  }
+
   "packedShards" should "fill every interior pack exactly and concatenate docs in order" in {
     // doc i has i+1 tokens "d<i>t<j>" — unique everywhere, so shard
     // content proves ordering, not just counts
