@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * row.
   *
   * Image decode is REAL ([[Media.ImageIoDecoder]]: the JDK's built-in
-  * javax.imageio codecs — PNG/JPEG/BMP/GIF) and so is WAV/PCM audio
-  * decode ([[Media.WavDecoder]]: javax.sound.sampled) — both zero
-  * external dependencies. Only video lacks an in-JDK codec and falls
-  * back to the clearly-marked deterministic [[Media.StubDecoder]]
-  * behind the same `Decoder` trait (a production binding would use
-  * ffmpeg/jcodec). Everything Spark-side (schema, batching, partition
-  * sizing, metadata flow) is real and tested.
+  * javax.imageio codecs — PNG/JPEG/BMP/GIF), WAV/PCM audio decode is
+  * REAL ([[Media.WavDecoder]]: javax.sound.sampled), and MJPEG/AVI
+  * video decode is REAL ([[Media.MjpegAviDecoder]]: RIFF chunk walk +
+  * per-frame imageio) — all zero external dependencies. Only video
+  * containers without an in-JDK demuxer (mp4/mkv) fall back to the
+  * clearly-marked deterministic [[Media.StubDecoder]] behind the same
+  * `Decoder` trait (a production binding would use ffmpeg/jcodec).
+  * Everything Spark-side (schema, batching, partition sizing, metadata
+  * flow) is real and tested.
   */
 final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -43,9 +45,10 @@ object Media {
     *
     * Non-image media types delegate to `fallback`, by default the real
     * [[WavDecoder]] (JDK javax.sound.sampled) chained onto
-    * [[StubDecoder]] — so PNG/JPEG/BMP/GIF and WAV/PCM all decode for
-    * real with zero external dependencies; only video still needs an
-    * external binding (ffmpeg/jcodec) and stays stubbed.
+    * [[MjpegAviDecoder]] — so PNG/JPEG/BMP/GIF images, WAV/PCM audio
+    * AND MJPEG/AVI video all decode for real with zero external
+    * dependencies; only non-AVI video containers (mp4/mkv) still need
+    * an external binding (ffmpeg/jcodec) and stay stubbed.
     *
     * Undecodable image bytes THROW (IllegalArgumentException). At corpus
     * scale route dirty data through `extractFeatures(..., lenient=true)`,
@@ -90,10 +93,11 @@ object Media {
     * Handles the PCM encodings a `.wav` container actually carries
     * (signed 16-bit and signed/unsigned 8-bit); anything else —
     * including undecodable bytes — THROWS, and `lenient` extraction
-    * drops it. Non-audio media types delegate to `fallback`; video is
-    * the one remaining stub (needs an ffmpeg/jcodec binding).
+    * drops it. Non-audio media types delegate to `fallback`, by default
+    * the real [[MjpegAviDecoder]] chained onto [[StubDecoder]].
     */
-  final class WavDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+  final class WavDecoder(fallback: Decoder = new MjpegAviDecoder(StubDecoder))
+      extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
       if (mediaType != "audio/wav") fallback.decode(mediaType, payload)
       else {
@@ -152,11 +156,79 @@ object Media {
       }
   }
 
+  /** Real MJPEG/AVI video decoder — like the image and audio decoders,
+    * pure JDK: the AVI container is a RIFF tree walked chunk-by-chunk
+    * (LIST recursion, word-aligned chunk sizes), video frames are the
+    * `##dc`/`##db` stream chunks, and each frame's bytes decode through
+    * javax.imageio CONTENT sniffing — so standard MJPEG (JPEG frames)
+    * decodes for real, and the PNG-frame AVIs this repo generates as
+    * lossless fixtures decode exactly. Returns frame-0 dimensions and
+    * the 4-dim feature [n_frames, meanR, meanG, meanB of frame 0] — the
+    * representative-frame featurization a cheap video pipeline runs
+    * before any model pass. Malformed RIFF, zero frames, or an
+    * undecodable first frame THROW; `lenient` extraction drops them.
+    * Non-AVI containers (mp4/mkv need external demuxers — ffmpeg/jcodec)
+    * delegate to `fallback`.
+    */
+  final class MjpegAviDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+      if (mediaType != "video/avi" && mediaType != "video/x-msvideo")
+        fallback.decode(mediaType, payload)
+      else {
+        def u32(o: Int): Long =
+          (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
+            (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
+        def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+        def bad(msg: String) = throw new IllegalArgumentException(
+          s"payload is not a decodable AVI ($msg, ${payload.length} bytes)")
+        if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") bad("magic")
+        val end = math.min(payload.length.toLong, 8 + u32(4)).toInt
+        val frames = Vector.newBuilder[(Int, Int)]
+        def walk(start: Int, stop: Int): Unit = {
+          var o = start
+          while (o + 8 <= stop) {
+            val id = fourcc(o)
+            val sz = u32(o + 4).toInt
+            val body = o + 8
+            if (sz < 0 || body + sz > stop) bad(s"truncated chunk $id")
+            if (id == "LIST") { if (sz >= 4) walk(body + 4, body + sz) }
+            else if (id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+              frames += ((body, sz))
+            o = body + sz + (sz & 1) // RIFF chunks are word-aligned
+          }
+        }
+        walk(12, end)
+        val fs = frames.result()
+        if (fs.isEmpty) bad("no video frame chunks")
+        val (off, len) = fs.head
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len))
+        if (img == null) bad("undecodable frame 0")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            r += (argb >> 16) & 0xff; g += (argb >> 8) & 0xff; b += argb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, Array(fs.size.toFloat,
+          r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f))
+      }
+  }
+
   /** Deterministic fake decoder: dimensions and features derived from the
     * payload bytes, so specs can assert exact values. STUB — now the
-    * binding for video only (no in-JDK video codec; a production binding
-    * would bridge ffmpeg/jcodec); images decode for real via
-    * [[ImageIoDecoder]] and WAV audio via [[WavDecoder]].
+    * binding only for video CONTAINERS without an in-JDK demuxer
+    * (mp4/mkv; a production binding would bridge ffmpeg/jcodec): images
+    * decode for real via [[ImageIoDecoder]], WAV audio via
+    * [[WavDecoder]], and MJPEG/AVI video via [[MjpegAviDecoder]].
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -196,26 +268,71 @@ object Media {
     * (`round(mean · 255) = channel`), giving the decode pipeline a SQL
     * oracle despite PNG bytes themselves being codec-version-dependent.
     */
+  /** Solid-color PNG bytes for the deterministic fixtures. */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def docRgb(id: Long): Int =
+    (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+
   def syntheticPngs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val w = (1 + id % 8).toInt
-        val h = (1 + id % 6).toInt
-        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        val bytes = out.toByteArray
+        val bytes = solidPng((1 + id % 8).toInt, (1 + id % 6).toInt, docRgb(id))
         MediaRow(id, "image/png",
           if (id % 7 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
+
+  /** Deterministic REAL AVI payloads derived purely from doc ids: a
+    * structurally honest RIFF/AVI container (LIST hdrl with an avih
+    * header block, LIST movi with `00dc` frame chunks, word-aligned)
+    * holding `1 + id % 4` identical solid-color PNG frames of the same
+    * `(1 + id % 8) × (1 + id % 6)` / doc-RGB geometry as
+    * [[syntheticPngs]]. PNG frames make the fixture LOSSLESS — frame-0
+    * mean-RGB recovers the channel bytes exactly, giving the video
+    * decode path a pure-SQL oracle even though both PNG bytes and any
+    * JPEG round-trip are codec-dependent ([[MjpegAviDecoder]] sniffs
+    * frame content, so real JPEG-frame MJPEG takes the identical path —
+    * MediaSpec covers it). Every 9th payload is truncated to its
+    * 8-byte RIFF magic for the `lenient` drop path.
+    */
+  def syntheticAvis(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = (1 + id % 4).toInt
+        val frame = solidPng((1 + id % 8).toInt, (1 + id % 6).toInt, docRgb(id))
+        val pad = frame.length & 1
+        val hdrlBody = 4 + 8 + 56                       // "hdrl" + avih chunk
+        val moviBody = 4 + nFrames * (8 + frame.length + pad)
+        val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+        val bytes = new Array[Byte](8 + riffBody)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+        cc("RIFF"); bb.putInt(riffBody); cc("AVI ")
+        cc("LIST"); bb.putInt(hdrlBody); cc("hdrl")
+        cc("avih"); bb.putInt(56); bb.position(bb.position() + 56)
+        cc("LIST"); bb.putInt(moviBody); cc("movi")
+        (0 until nFrames).foreach { _ =>
+          cc("00dc"); bb.putInt(frame.length); bb.put(frame)
+          if (pad == 1) bb.put(0.toByte)
+        }
+        MediaRow(id, "video/avi",
+          if (id % 9 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
       }
     }
   }

@@ -156,5 +156,39 @@ object MultimodalQueries {
         .cast("bigint").as("crossings"))
   }
 
-  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures, audioFeatures)
+  /** REAL MJPEG/AVI video decode inside the driver-checked surface:
+    * deterministic RIFF/AVI containers generated from doc ids
+    * (Media.syntheticAvis — LIST hdrl/movi structure, word-aligned
+    * chunks, `1 + id % 4` solid-color PNG frames so the fixture is
+    * lossless), every 9th payload truncated/corrupt, decoded
+    * per-partition by the real RIFF-walking MjpegAviDecoder in `lenient`
+    * mode (corrupt blobs DROPPED; the oracle's `doc_id % 9 <> 0`
+    * asserts exactly that drop set). Frame-0 mean-RGB recovers the
+    * channel bytes exactly, m4-style, and the frame count comes back
+    * through the feature vector.
+    */
+  val videoFeatures: Q = Q(
+    "m6_video_features",
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST(1 + doc_id % 4 AS INT) AS n_frames,
+      |  CAST(doc_id % 256 AS INT) AS mean_r,
+      |  CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+      |  CAST((doc_id * 13) % 256 AS INT) AS mean_b
+      |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticAvis(t(s, dir, "documents"), s)
+    graft.multimodal.Media
+      .extractFeatures(rows, new graft.multimodal.Media.MjpegAviDecoder(), s,
+        lenient = true)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        element_at(col("feature"), 1).cast("int").as("n_frames"),
+        round(element_at(col("feature"), 2).cast("double") * 255).cast("int").as("mean_r"),
+        round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_g"),
+        round(element_at(col("feature"), 4).cast("double") * 255).cast("int").as("mean_b"))
+  }
+
+  val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
+    audioFeatures, videoFeatures)
 }

@@ -211,6 +211,64 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  "MjpegAviDecoder" should "decode PNG-frame AVIs exactly, dropping truncated ones" in {
+    val rows = Media.syntheticAvis(docs, spark).repartition(3)
+    val feats = Media.extractFeatures(rows, new Media.MjpegAviDecoder(), spark,
+      lenient = true).cache()
+    // exactly the id % 9 == 0 payloads are dropped
+    val keptIds = feats.select("doc_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    keptIds shouldBe allIds.filter(_ % 9 != 0)
+    feats.collect().foreach { f =>
+      f.width shouldBe (1 + f.doc_id % 8).toInt
+      f.height shouldBe (1 + f.doc_id % 6).toInt
+      f.feature(0) shouldBe (1 + f.doc_id % 4).toFloat  // frame count
+      // lossless PNG frames: mean-RGB recovers the channel bytes exactly
+      math.round(f.feature(1) * 255) shouldBe (f.doc_id % 256).toInt
+      math.round(f.feature(2) * 255) shouldBe ((f.doc_id * 7) % 256).toInt
+      math.round(f.feature(3) * 255) shouldBe ((f.doc_id * 13) % 256).toInt
+    }
+  }
+
+  it should "decode a real JPEG-frame MJPEG container through the same path" in {
+    // hand-roll an AVI whose two frames are actual JPEGs (the standard
+    // MJPEG payload) — dims and frame count must survive the lossy codec
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x808080)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val frame = out.toByteArray
+    val pad = frame.length & 1
+    val moviBody = 4 + 2 * (8 + frame.length + pad)
+    val riffBody = 4 + (8 + moviBody)
+    val bytes = new Array[Byte](8 + riffBody)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffBody); cc("AVI ")
+    cc("LIST"); bb.putInt(moviBody); cc("movi")
+    (0 until 2).foreach { _ =>
+      cc("00dc"); bb.putInt(frame.length); bb.put(frame)
+      if (pad == 1) bb.put(0.toByte)
+    }
+    val (w, h, feat) = new Media.MjpegAviDecoder().decode("video/avi", bytes)
+    (w, h) shouldBe ((6, 4))
+    feat(0) shouldBe 2.0f
+    // gray survives the JPEG round trip to within a couple of levels
+    math.abs(math.round(feat(1) * 255) - 128) should be <= 2
+  }
+
+  it should "reject non-AVI bytes and delegate other media types" in {
+    an[IllegalArgumentException] should be thrownBy
+      new Media.MjpegAviDecoder().decode("video/avi", Array[Byte](1, 2, 3))
+    an[IllegalArgumentException] should be thrownBy
+      new Media.MjpegAviDecoder().decode("video/avi",
+        "RIFFxxxxAVI somethingelse".getBytes("US-ASCII"))
+    // non-AVI types fall through to the stub, not an error
+    val (w, _, _) = new Media.MjpegAviDecoder().decode("video/mp4", Array[Byte](1, 2, 3))
+    w shouldBe StubDecoder.decode("video/mp4", Array[Byte](1, 2, 3))._1
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
