@@ -26,6 +26,9 @@ final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte]
 final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
     width: Int, height: Int, feature: Array[Float])
 
+final case class FrameFeatures(doc_id: Long, frame_no: Int, width: Int,
+    height: Int, feature: Array[Float])
+
 object Media {
 
   /** Decoder contract: bytes → (width, height, feature vector). Swap the
@@ -175,52 +178,70 @@ object Media {
       if (mediaType != "video/avi" && mediaType != "video/x-msvideo")
         fallback.decode(mediaType, payload)
       else {
-        def u32(o: Int): Long =
-          (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
-            (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
-        def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
-        def bad(msg: String) = throw new IllegalArgumentException(
-          s"payload is not a decodable AVI ($msg, ${payload.length} bytes)")
-        if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") bad("magic")
-        val end = math.min(payload.length.toLong, 8 + u32(4)).toInt
-        val frames = Vector.newBuilder[(Int, Int)]
-        def walk(start: Int, stop: Int): Unit = {
-          var o = start
-          while (o + 8 <= stop) {
-            val id = fourcc(o)
-            val sz = u32(o + 4).toInt
-            val body = o + 8
-            if (sz < 0 || body + sz > stop) bad(s"truncated chunk $id")
-            if (id == "LIST") { if (sz >= 4) walk(body + 4, body + sz) }
-            else if (id(0).isDigit && id(1).isDigit &&
-              (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
-              frames += ((body, sz))
-            o = body + sz + (sz & 1) // RIFF chunks are word-aligned
-          }
-        }
-        walk(12, end)
-        val fs = frames.result()
-        if (fs.isEmpty) bad("no video frame chunks")
-        val (off, len) = fs.head
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload, off, len))
-        if (img == null) bad("undecodable frame 0")
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (r, g, b) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val argb = img.getRGB(x, y)
-            r += (argb >> 16) & 0xff; g += (argb >> 8) & 0xff; b += argb & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        (w, h, Array(fs.size.toFloat,
-          r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f))
+        val fs = aviFrameChunks(payload)
+        val (w, h, rgb) = decodeFrame(payload, fs.head)
+        (w, h, Array(fs.size.toFloat, rgb(0), rgb(1), rgb(2)))
       }
+  }
+
+  /** (offset, length) of every `##dc`/`##db` video frame chunk in an AVI
+    * payload — the RIFF tree walk shared by [[MjpegAviDecoder]] and the
+    * per-frame [[extractVideoFrames]]. Malformed RIFF or zero frames
+    * throw IllegalArgumentException (drops under `lenient`).
+    */
+  private def aviFrameChunks(payload: Array[Byte]): Vector[(Int, Int)] = {
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
+        (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24
+    def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"payload is not a decodable AVI ($msg, ${payload.length} bytes)")
+    if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") bad("magic")
+    val end = math.min(payload.length.toLong, 8 + u32(4)).toInt
+    val frames = Vector.newBuilder[(Int, Int)]
+    def walk(start: Int, stop: Int): Unit = {
+      var o = start
+      while (o + 8 <= stop) {
+        val id = fourcc(o)
+        val sz = u32(o + 4).toInt
+        val body = o + 8
+        if (sz < 0 || body + sz > stop) bad(s"truncated chunk $id")
+        if (id == "LIST") { if (sz >= 4) walk(body + 4, body + sz) }
+        else if (id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+          frames += ((body, sz))
+        o = body + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, end)
+    val fs = frames.result()
+    if (fs.isEmpty) bad("no video frame chunks")
+    fs
+  }
+
+  /** Decode one frame chunk by imageio content sniffing → (w, h,
+    * [meanR, meanG, meanB]); throws on undecodable bytes.
+    */
+  private def decodeFrame(payload: Array[Byte], chunk: (Int, Int)): (Int, Int, Array[Float]) = {
+    val (off, len) = chunk
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload, off, len))
+    if (img == null) throw new IllegalArgumentException(
+      s"payload holds an undecodable video frame ($len bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        r += (argb >> 16) & 0xff; g += (argb >> 8) & 0xff; b += argb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (w, h, Array(r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f))
   }
 
   /** Deterministic fake decoder: dimensions and features derived from the
@@ -402,6 +423,37 @@ object Media {
         try {
           val (w, h, feat) = d.decode(r.media_type, r.payload)
           Iterator.single(MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, feat))
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling: decode every `frameStride`-th frame of each AVI
+    * payload to per-frame features — the keyframe/thumbnail extraction a
+    * video pipeline runs before a model pass (stride is the compute
+    * knob: stride 30 ≈ one frame per second of 30fps footage). One RIFF
+    * walk + one imageio decode per sampled frame, per partition;
+    * `lenient` drops malformed containers whole. The explode is bounded
+    * by frames/stride per row — map-side fan-out, no shuffle.
+    */
+  def extractVideoFrames(rows: Dataset[MediaRow], spark: SparkSession,
+      frameStride: Int = 1, lenient: Boolean = false): Dataset[FrameFeatures] = {
+    require(frameStride > 0, "frameStride must be positive")
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val chunks = aviFrameChunks(r.payload)
+          // eager map: a mid-payload undecodable frame must throw INSIDE
+          // this try so lenient mode can drop the container whole
+          chunks.indices.by(frameStride).map { i =>
+            val (w, h, rgb) = decodeFrame(r.payload, chunks(i))
+            FrameFeatures(r.doc_id, i, w, h,
+              Array(rgb(0), rgb(1), rgb(2),
+                0.299f * rgb(0) + 0.587f * rgb(1) + 0.114f * rgb(2)))
+          }.iterator
         } catch {
           case _: Exception if lenient => Iterator.empty
         }

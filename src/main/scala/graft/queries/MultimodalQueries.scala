@@ -189,6 +189,34 @@ object MultimodalQueries {
         round(element_at(col("feature"), 4).cast("double") * 255).cast("int").as("mean_b"))
   }
 
+  /** REAL frame sampling from the AVI fixtures (Media.extractVideoFrames,
+    * stride 2): every other frame of each container decodes to per-frame
+    * features — one row per (doc, sampled frame). The fixture's frames
+    * are identical solid-color PNGs, so every sampled frame recovers the
+    * doc's channel bytes exactly and the sampled frame numbers are the
+    * arithmetic sequence 0, 2, … below `1 + id % 4`, which the oracle
+    * replays with generate_series.
+    */
+  val frameFeatures: Q = Q(
+    "m7_frame_features",
+    """SELECT doc_id,
+      |  CAST(f AS INT) AS frame_no,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST(doc_id % 256 AS INT) AS mean_r,
+      |  CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+      |  CAST((doc_id * 13) % 256 AS INT) AS mean_b
+      |FROM documents, unnest(range(0, 1 + doc_id % 4, 2)) AS t(f)
+      |WHERE doc_id % 9 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticAvis(t(s, dir, "documents"), s)
+    graft.multimodal.Media.extractVideoFrames(rows, s, frameStride = 2, lenient = true)
+      .toDF()
+      .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+        round(element_at(col("feature"), 1).cast("double") * 255).cast("int").as("mean_r"),
+        round(element_at(col("feature"), 2).cast("double") * 255).cast("int").as("mean_g"),
+        round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
-    audioFeatures, videoFeatures)
+    audioFeatures, videoFeatures, frameFeatures)
 }

@@ -269,6 +269,26 @@ class MediaSpec extends SparkSpec {
     w shouldBe StubDecoder.decode("video/mp4", Array[Byte](1, 2, 3))._1
   }
 
+  "extractVideoFrames" should "decode sampled frames with the right stride and drop corrupt containers" in {
+    val rows = Media.syntheticAvis(docs, spark).repartition(3)
+    val frames = Media.extractVideoFrames(rows, spark, frameStride = 2,
+      lenient = true).cache()
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    byDoc.keySet shouldBe docs.select("doc_id").as[Long].collect()
+      .filter(_ % 9 != 0).toSet
+    byDoc.foreach { case (id, fs) =>
+      val nFrames = (1 + id % 4).toInt
+      fs.map(_.frame_no).sorted.toSeq shouldBe (0 until nFrames by 2)
+      fs.foreach { f =>
+        f.width shouldBe (1 + id % 8).toInt
+        math.round(f.feature(0) * 255) shouldBe (id % 256).toInt
+      }
+    }
+    // stride 1 yields every frame
+    Media.extractVideoFrames(rows, spark, lenient = true).count() shouldBe
+      byDoc.keySet.toSeq.map(id => (1 + id % 4)).sum
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
