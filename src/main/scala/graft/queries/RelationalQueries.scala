@@ -593,6 +593,28 @@ object RelationalQueries {
     * bit-for-bit. LayoutSpec separately measures the payoff (per-file
     * min-max ranges shrink on both dimensions).
     */
+  /** Relative-rank window functions (percent_rank / cume_dist) over the
+    * return-flag partitions with a fully unique ordering key. Both are
+    * single divisions of exact integers — (rank−1)/(n−1) and
+    * rows≤current/n — so the doubles are bit-identical cross-engine with
+    * no rounding.
+    */
+  val rankFuncs: Q = Q(
+    "w7_rank_funcs",
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** Two-phase salted hot-key aggregation (core.Skew.saltedCount) over
     * lineitem's 3-value return flag — the single-hot-reducer case AQE
     * does not split. The salt spreads each hot key over 16 partial
@@ -636,5 +658,5 @@ object RelationalQueries {
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs, saltedCount, zorderKey)
+    statsAggs, saltedCount, rankFuncs, zorderKey)
 }

@@ -970,6 +970,44 @@ object TextQueries {
     }
   }
 
+  /** Length-quantile curriculum buckets: documents assigned to quartile
+    * buckets of the token-count distribution — the batching/curriculum
+    * primitive (short-to-long ordering, length-homogeneous batches).
+    * Boundaries are EXACT interpolated percentiles (one tiny agg,
+    * broadcast back; the a15 mechanism), rounded to 6 dp on BOTH engines
+    * before the boundary comparison so an ulp of interpolation
+    * difference cannot flip a bucket. Everything else is map-side CASE
+    * assignment + one combinable rollup.
+    */
+  val lengthBuckets: Q = Q(
+    "x28_length_buckets",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n
+      |  FROM documents),
+      |qs AS (SELECT round(quantile_cont(n, 0.25), 6) AS q1,
+      |              round(quantile_cont(n, 0.5), 6) AS q2,
+      |              round(quantile_cont(n, 0.75), 6) AS q3 FROM toks)
+      |SELECT bucket, count(*) AS n_docs,
+      |  min(n) AS min_tokens, max(n) AS max_tokens
+      |FROM (SELECT CASE WHEN n <= q1 THEN 0 WHEN n <= q2 THEN 1
+      |             WHEN n <= q3 THEN 2 ELSE 3 END AS bucket, n
+      |      FROM toks, qs)
+      |GROUP BY bucket""".stripMargin) { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val qs = toks.agg(
+      round(percentile(col("n"), lit(0.25)), 6).as("q1"),
+      round(percentile(col("n"), lit(0.5)), 6).as("q2"),
+      round(percentile(col("n"), lit(0.75)), 6).as("q3"))
+    toks.crossJoin(broadcast(qs))
+      .select(when(col("n") <= col("q1"), 0).when(col("n") <= col("q2"), 1)
+        .when(col("n") <= col("q3"), 2).otherwise(3).as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+  }
+
   /** Intra-document repetition ratio (TextAnalysis.repetitionRatio):
     * 1 − distinct/total word trigrams — the Gopher-style repetitious-text
     * quality filter, entirely map-side. The oracle replays the identical
@@ -1252,5 +1290,5 @@ object TextQueries {
     sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
-    gopherStats, winnowedFps, spanOverlap, contrastiveTriples)
+    gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets)
 }
