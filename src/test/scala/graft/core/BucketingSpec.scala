@@ -42,4 +42,35 @@ class BucketingSpec extends SparkSpec {
     agg.queryExecution.executedPlan.toString() should not include "Exchange hashpartitioning"
     agg.count() should be > 0L
   }
+
+  it should "serve IVF search from a persistent index without reshuffling the index side" in {
+    // the 100 TB ANN posture: the index is a cell-bucketed TABLE, not an
+    // in-memory structure — centroid aggregation AND the fine-search join
+    // both reuse the on-disk partitioning, so only the (small) query side
+    // ever shuffles, at any index size
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val indexed = emb.join(graft.ann.Ann.kmeansCells(emb, k = 8), "vec_id")
+    Io.writeTable(indexed, Io.TableSpec("ivf_idx", numBuckets = 4,
+      bucketBy = Seq("cell"), sortBy = Seq("cell"), mode = "overwrite"))
+
+    // force non-broadcast joins: at scale the query batch is too big to
+    // broadcast, which is exactly when the index side must not reshuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      def search(index: org.apache.spark.sql.DataFrame) =
+        graft.ann.Ann.ivfSearch(index, "cell", queries, k = 3, nprobe = 2)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString()).size
+
+      val overTable = search(spark.table("ivf_idx"))
+      val overParquet = search(indexed)
+      // bucketing removes the index-side exchanges (centroid agg + join);
+      // remaining exchanges move only query-sized data
+      exchanges(overTable) should be < exchanges(overParquet)
+      // identical results either way
+      overTable.collect().toSet shouldBe overParquet.collect().toSet
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
