@@ -157,6 +157,35 @@ object EventQueries {
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
   }
 
+  /** Unpivot (melt): the inverse of e5's pivot — the wide per-user count
+    * matrix back to long (user_id, event_type, n) form, zero-filled
+    * combinations included (what the wide form materializes). Spark's
+    * native unpivot operator; the oracle replays it as a VALUES cross
+    * join + CASE.
+    */
+  val unpivotCounts: Q = Q(
+    "e14_unpivot",
+    """WITH counts AS (
+      |  SELECT user_id,
+      |    count(*) FILTER (event_type = 'click') AS click,
+      |    count(*) FILTER (event_type = 'error') AS error,
+      |    count(*) FILTER (event_type = 'purchase') AS purchase,
+      |    count(*) FILTER (event_type = 'signup') AS signup,
+      |    count(*) FILTER (event_type = 'view') AS view
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, t.event_type,
+      |  CASE t.event_type WHEN 'click' THEN click WHEN 'error' THEN error
+      |       WHEN 'purchase' THEN purchase WHEN 'signup' THEN signup
+      |       ELSE view END AS n
+      |FROM counts, (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+      |              ('view')) t(event_type)""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(col("user_id")).pivot("event_type", types).count()
+      .na.fill(0L, types)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+  }
+
   /** ROLLUP grouping sets over (event_type, hour) — subtotal + grand-total
     * rows, with grouping() markers folded into sentinel labels so the
     * output is null-free (hash-compare-safe) while keeping ANSI ROLLUP
@@ -346,6 +375,6 @@ object EventQueries {
   }
 
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
-    pivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
+    pivotCounts, unpivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
     funnel, cohortRetention)
 }

@@ -475,6 +475,27 @@ object RelationalQueries {
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
   }
 
+  /** U4/U5 multiset set-ops (ALL semantics — duplicates preserved by
+    * multiplicity, the bag algebra distinct-based u2/u3 cannot express).
+    */
+  val intersectAllQ: Q = Q(
+    "u4_intersect_all",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT ALL
+      |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+  }
+
+  val exceptAllQ: Q = Q(
+    "u5_except_all",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT ALL
+      |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+  }
+
   /** CUBE grouping sets (all 4 subtotal combinations), null-free via
     * sentinels for hash-compare safety.
     */
@@ -656,7 +677,7 @@ object RelationalQueries {
     keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
-    unionDistinct, intersectQ, exceptQ, cubeCounts, orderByTopK, stringFuncs,
+    unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
     statsAggs, saltedCount, rankFuncs, zorderKey)
 }
