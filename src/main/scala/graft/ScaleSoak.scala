@@ -179,6 +179,18 @@ object ScaleSoak {
       graft.dedup.Sampling.packedShards(toks, "doc_id", col("w"), budget = 2048L)
         .count()
     }
+    timed("bm25_topk") {
+      // 8 queries of 4 content words each against the full inverted
+      // index — the index build (one corpus scan + term shuffle)
+      // dominates, which is what the growth curve must show linear
+      val queries = corpus.filter(col("doc_id") % (docs / 8) === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 2, 4).as("terms"))
+      graft.text.TextSearch.bm25TopK(corpus, queries, k = 10).count()
+    }
+    timed("tfidf_topterms") {
+      graft.text.TextSearch.tfidfTopTerms(corpus, k = 3).count()
+    }
     timed("contrastive_triples") {
       // pairs straight from the planted 50-block dup structure (the
       // minhash stage already times candidate generation itself)
