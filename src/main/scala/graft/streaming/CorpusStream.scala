@@ -17,10 +17,16 @@ import graft.dedup.Dedup
   * too, not just duplicates of the initial corpus. Each fold is an
   * eager localCheckpoint — per-batch lineage stays constant instead of
   * accumulating one union per batch (the classic streaming-state leak
-  * when state lives outside the engine). Intra-batch duplicates are the
-  * batch operators' job (run Dedup.exact/minhashCandidates on the batch
-  * before admission if drops can contain self-dups); this writer's
-  * contract is batch-vs-corpus.
+  * when state lives outside the engine). Superseded checkpoint blocks
+  * do remain in the block manager, so this in-memory fold suits
+  * bounded backfills and moderate-lived queries; an indefinitely-lived
+  * admission stream should persist the index as an appendable TABLE
+  * (the LiteratureStream.parquetSink pattern: append admitted
+  * signatures per batch_id, read back per batch) and restart from it.
+  * Intra-batch duplicates are the batch operators' job (run
+  * Dedup.exact/minhashCandidates on the batch before admission if
+  * drops can contain self-dups); this writer's contract is
+  * batch-vs-corpus.
   *
   * Scale shape per batch: signatures are one combinable aggregation over
   * the batch (arrival-rate-sized); the band join touches only index rows
