@@ -496,6 +496,60 @@ object RelationalQueries {
       .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
   }
 
+  /** Fuzzy string matching by edit distance — the short-string twin of
+    * the shingle/minhash fuzzy dedup (titles, entity labels, file
+    * names): each of 5 probe names takes its nearest supplier name by
+    * levenshtein, ties broken by name. The probe side is tiny and
+    * broadcast; the candidate scan is one pass — the same
+    * queries-broadcast discipline as v1 brute-force kNN.
+    */
+  val editDistance: Q = Q(
+    "f6_edit_distance",
+    """WITH probes AS (
+      |  SELECT s_suppkey AS probe_id, upper(s_name) AS probe
+      |  FROM supplier WHERE s_suppkey <= 5)
+      |SELECT probe_id, s_name AS best_match, CAST(d AS INT) AS dist FROM (
+      |  SELECT probe_id, s_name, levenshtein(probe, s_name) AS d,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY levenshtein(probe, s_name), s_name) AS rn
+      |  FROM supplier, probes)
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val sup = t(s, dir, "supplier")
+    val probes = sup.filter(col("s_suppkey") <= 5)
+      .select(col("s_suppkey").as("probe_id"), upper(col("s_name")).as("probe"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("s_name"))
+    sup.select(col("s_name"))
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("s_name"),
+        levenshtein(col("probe"), col("s_name")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("s_name").as("best_match"),
+        col("d").cast("int").as("dist"))
+  }
+
+  /** Explicit GROUPING SETS with grouping_id — the third grouping-set
+    * flavor beyond a14's CUBE and e6's ROLLUP: exactly two chosen
+    * subtotal shapes plus the grouping_id disambiguator (the null-vs-
+    * subtotal marker a sentinel coalesce cannot distinguish).
+    */
+  val groupingSets: Q = Q(
+    "a18_grouping_sets",
+    """SELECT coalesce(l_returnflag, '-') AS flag,
+      |  coalesce(l_linestatus, '-') AS status,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("-")).as("flag"),
+        coalesce(col("l_linestatus"), lit("-")).as("status"),
+        col("gid").cast("long").as("gid"), col("n"))
+  }
+
   /** CUBE grouping sets (all 4 subtotal combinations), null-free via
     * sentinels for hash-compare safety.
     */
@@ -677,7 +731,7 @@ object RelationalQueries {
     keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
-    unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, cubeCounts, orderByTopK, stringFuncs,
+    unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, editDistance, groupingSets, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
     statsAggs, saltedCount, rankFuncs, zorderKey)
 }
