@@ -970,6 +970,36 @@ object TextQueries {
     }
   }
 
+  /** Per-domain corpus governance — the FineWeb-style "count, cap and
+    * audit by source domain" primitive. The testdata carries no URLs, so
+    * each doc gets a deterministic planted URL IN THE QUERY (identically
+    * on both engines, the x15 PII pattern); Spark extracts the host with
+    * the codegen'd parse_url and the oracle replays it with a regex.
+    * One combinable shuffle on the domain key.
+    */
+  val domainStats: Q = Q(
+    "x29_domain_stats",
+    """SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS first_doc
+      |FROM (SELECT doc_id, n_chars,
+      |        'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+      |        '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val url = concat(lit("https://site"), (col("doc_id") % 23).cast("string"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .select(col("doc_id"), col("n_chars"),
+        parse_url(col("url"), lit("HOST")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   /** Length-quantile curriculum buckets: documents assigned to quartile
     * buckets of the token-count distribution — the batching/curriculum
     * primitive (short-to-long ordering, length-homogeneous batches).
@@ -1290,5 +1320,5 @@ object TextQueries {
     sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
-    gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets)
+    gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats)
 }
