@@ -261,6 +261,10 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // the round's directly-checkpointed frame: `labels` becomes a lazy
+    // projection over it after round 1, so the block-freeing handle must
+    // be the checkpoint product itself
+    var checkpointed = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -283,9 +287,17 @@ object Dedup {
           col("label").as("prevLabel"))
         .localCheckpoint()
       changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+      // next is materialized — free the superseded round's label blocks
+      // so block-manager usage stays one-generation-bounded over the
+      // O(log diameter) rounds (same discipline as CorpusStream's fold)
+      graft.core.Checkpoints.unpersistCheckpoint(checkpointed)
+      checkpointed = next
       labels = next.select(col("doc_id"), col("nextLabel").as("label"))
       iter += 1
     }
+    // the result depends only on the final round's checkpoint — the edge
+    // blocks are dead weight once the loop exits
+    graft.core.Checkpoints.unpersistCheckpoint(edges)
     if (changed > 0) throw new IllegalStateException(
       s"clusters() did not converge in $maxIter rounds ($changed labels still " +
         "moving) — with pointer doubling this means a component ~2^maxIter hops " +

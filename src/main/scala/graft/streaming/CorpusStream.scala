@@ -17,12 +17,15 @@ import graft.dedup.Dedup
   * too, not just duplicates of the initial corpus. Each fold is an
   * eager localCheckpoint — per-batch lineage stays constant instead of
   * accumulating one union per batch (the classic streaming-state leak
-  * when state lives outside the engine). Superseded checkpoint blocks
-  * do remain in the block manager, so this in-memory fold suits
-  * bounded backfills and moderate-lived queries; an indefinitely-lived
-  * admission stream should persist the index as an appendable TABLE
-  * (the LiteratureStream.parquetSink pattern: append admitted
-  * signatures per batch_id, read back per batch) and restart from it.
+  * when state lives outside the engine) — and the superseded index
+  * generation plus the batch's signature checkpoint are unpersisted
+  * once the new fold is materialized (core.Checkpoints), so the block
+  * manager retains exactly ONE index generation regardless of stream
+  * lifetime. The retained state is still the full signature index
+  * (growing with admissions), so an indefinitely-lived admission
+  * stream should persist the index as an appendable TABLE (the
+  * LiteratureStream.parquetSink pattern: append admitted signatures
+  * per batch_id, read back per batch) and restart from it.
   * Intra-batch duplicates are the batch operators' job (run
   * Dedup.exact/minhashCandidates on the batch before admission if
   * drops can contain self-dups); this writer's contract is
@@ -56,7 +59,14 @@ object CorpusStream {
         val flagged = batch.join(dupIds, Seq("doc_id"), "left_semi")
         sink(BatchAdmissions(batchId, admitted, flagged))
         val admittedSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+        val previous = index
         index = index.unionByName(admittedSigs).localCheckpoint()
+        // the new fold is materialized (eager checkpoint) — free the
+        // superseded generation and the batch's signature blocks so
+        // block-manager usage stays one-generation-bounded over a
+        // long-lived stream
+        graft.core.Checkpoints.unpersistCheckpoint(previous)
+        graft.core.Checkpoints.unpersistCheckpoint(sigs)
       }
     }
   }

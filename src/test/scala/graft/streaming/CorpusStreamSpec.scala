@@ -14,6 +14,9 @@ class CorpusStreamSpec extends SparkSpec {
 
   "CorpusStream" should "flag near-dups against a growing index across micro-batches" in {
     val landing = Files.createTempDirectory("graft-corpus-landing").toFile.getAbsolutePath
+    // the session is JVM-shared across suites, so the block-manager bound
+    // below is asserted as a DELTA over whatever other suites persisted
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
 
     // standing corpus: docs 0 and 1
     val corpus = Seq(doc(0L, 0L), doc(1L, 1L)).toDF("doc_id", "text")
@@ -44,5 +47,16 @@ class CorpusStreamSpec extends SparkSpec {
 
     flagged.toSet shouldBe Set(10L, 20L) // vs corpus AND vs earlier batch
     admitted.toSet shouldBe Set(11L, 21L)
+
+    // block-manager bound: superseded index generations and per-batch
+    // signature checkpoints are unpersisted after each fold, so at most
+    // ONE index generation's RDD outlives the drained stream — without
+    // the unpersists this 2-batch run retains 5 checkpoints (initial +
+    // 2 sigs + 2 folds). Unpersist is async — poll briefly.
+    val deadline = System.currentTimeMillis() + 30000
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    while (persisted > persistedBefore + 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    persisted should be <= (persistedBefore + 1)
   }
 }
