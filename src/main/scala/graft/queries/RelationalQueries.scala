@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Q.{decSum, moneySum, t}
@@ -113,14 +113,36 @@ object RelationalQueries {
   }
 
   /** A13 approx_count_distinct (HLL++, rsd 0.01 as in reference
-    * Grounding.scala:543–550). No DuckDB oracle — HLL implementations
-    * differ; correctness is covered by the spec comparing against exact
-    * counts within rsd.
+    * Grounding.scala:543–550), driver-checked via its accuracy bound:
+    * HLL implementations differ across engines, so the raw estimate has
+    * no cross-engine oracle — but the claim that matters
+    * (|approx − exact| ≤ 3·rsd·exact) is relational. The exact count is
+    * computed in-plan beside the sketch and the bound is emitted as a
+    * boolean; DuckDB replays the exact count and expects TRUE, so a
+    * Spark estimate straying past ±3 % hash-mismatches. Deterministic:
+    * HLL is a pure function of the data. The quantitative bound is
+    * additionally spec-locked at sf0.01 AND sf0.1
+    * (ApproxDistinctScaleSpec).
     */
-  val approxDistinct: Q = Q.rowsOnly("a13_approx_count_distinct") { (s, dir) =>
+  val approxDistinct: Q = Q(
+    "a13_approx_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
+      // pre-dedup instead of countDistinct beside the sketch: a mixed
+      // distinct/non-distinct agg plans through an Expand that doubles
+      // the scanned stream; HLL is multiplicity-insensitive, so both
+      // aggregates run over the distinct pairs — one map-side-combinable
+      // shuffle, no Expand
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(lit(1))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        count(lit(1)).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          lit(3 * 0.01) * col("exact_parts")).as("within_bound"))
   }
 
   // ------------------------------------------------------------- W: windows
@@ -387,6 +409,123 @@ object RelationalQueries {
       .join(open, col("o_custkey") === col("k"), "left_outer")
       .na.fill(0L, Seq("n_open"))
       .select(col("o_custkey").as("custkey"), col("n_orders"), col("n_open"))
+  }
+
+  /** J3 double-sided resolution join (reference resolveCooccurrences,
+    * Grounding.scala:277–308): a pair stream grounds each side
+    * independently against its LUT via left_outer, keeps rows with BOTH
+    * sides mapped — the co-occurrence shape where an unmapped side
+    * invalidates the pair, not just its column. The LUTs are filtered so
+    * each side genuinely drops rows (partial coverage, like a grounding
+    * vocabulary).
+    */
+  val doubleResolutionJoin: Q = Q(
+    "j3_double_resolution",
+    """SELECT l_orderkey, l_linenumber, p_brand AS brand1, s_name AS name2
+      |FROM lineitem
+      |LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 25) p
+      |  ON l_partkey = p_partkey
+      |LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 0) s
+      |  ON l_suppkey = s_suppkey
+      |WHERE p_brand IS NOT NULL AND s_name IS NOT NULL""".stripMargin) { (s, dir) =>
+    val side1 = t(s, dir, "part").filter(col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"))
+    val side2 = t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      .select(col("s_suppkey"), col("s_name"))
+    t(s, dir, "lineitem")
+      .join(side1, col("l_partkey") === col("p_partkey"), "left_outer")
+      .join(side2, col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .withColumn("isMapped", col("p_brand").isNotNull && col("s_name").isNotNull)
+      .filter(col("isMapped"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p_brand").as("brand1"), col("s_name").as("name2"))
+  }
+
+  /** The shared 3-row rank dim for j6/j7 — the SectionRanks.table shape
+    * (a programmatic broadcastable dim covering only PART of the key
+    * domain: priorities 4-NOT SPECIFIED / 5-LOW are unranked).
+    */
+  private def priorityRanks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("1-URGENT", 1, 1.0), ("2-HIGH", 2, 0.8), ("3-MEDIUM", 3, 0.5))
+      .toDF("o_orderpriority", "rank", "weight")
+  }
+
+  private val priorityRanksSql =
+    """(VALUES ('1-URGENT', 1, 1.0), ('2-HIGH', 2, 0.8), ('3-MEDIUM', 3, 0.5))
+      |  AS ranks(o_orderpriority, rank, weight)""".stripMargin
+
+  /** J6 LENIENT rank join (reference literatureIndex,
+    * Processing.scala:108–112): left_outer against the partial rank dim,
+    * unranked keys kept with the fill defaults (rank 100 / weight 0.01).
+    * All 5 priorities survive — contrast j7, the strict policy over the
+    * SAME input, which keeps 3.
+    */
+  val lenientRankJoin: Q = Q(
+    "j6_lenient_rank_join",
+    s"""SELECT o_orderpriority, coalesce(rank, 100) AS rank,
+       |  CAST(coalesce(weight, 0.01) AS DOUBLE) AS weight, count(*) AS n
+       |FROM orders LEFT JOIN $priorityRanksSql USING (o_orderpriority)
+       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(priorityRanks(s)), Seq("o_orderpriority"), "left_outer")
+      .na.fill(100, Seq("rank")).na.fill(0.01, Seq("weight"))
+      .groupBy(col("o_orderpriority"), col("rank"), col("weight"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** J7 STRICT rank join (reference trainingSet, Embedding.scala:44–45):
+    * the inner join silently drops unranked keys — the embedding-step
+    * policy, versus j6's lenient literature-index policy. Same input,
+    * 3 surviving priorities instead of 5: the row-count divergence IS the
+    * semantic difference the reference encodes in two different steps.
+    */
+  val strictRankJoin: Q = Q(
+    "j7_strict_rank_join",
+    s"""SELECT o_orderpriority, rank, CAST(weight AS DOUBLE) AS weight, count(*) AS n
+       |FROM orders JOIN $priorityRanksSql USING (o_orderpriority)
+       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(priorityRanks(s)), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("rank"), col("weight"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A7 array-of-arrays training bags (reference trainingSet,
+    * Embedding.scala:46–57): per key, one sorted id-set per rank, the
+    * rank-ordered list of those sets, plus the flattened overall bag
+    * appended as a final element — then one row per bag. Both levels are
+    * plain map-side-combinable aggregations with explicit sort keys (the
+    * reference used a window + dropDuplicates — physical-order-dependent).
+    * Bags serialize to comma-joined strings for cross-engine hashing.
+    */
+  val trainingBags: Q = Q(
+    "a7_training_bags",
+    """WITH per_rank AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    list_sort(list(DISTINCT o_orderkey)) AS keys
+      |  FROM orders GROUP BY 1, 2),
+      |bags AS (
+      |  SELECT o_custkey,
+      |    list(keys ORDER BY o_orderpriority) AS keyss,
+      |    flatten(list(keys ORDER BY o_orderpriority)) AS overall
+      |  FROM per_rank GROUP BY 1)
+      |SELECT o_custkey,
+      |  array_to_string(list_transform(t.terms, x -> CAST(x AS VARCHAR)), ',') AS terms
+      |FROM bags, unnest(list_append(keyss, overall)) AS t(terms)""".stripMargin) { (s, dir) =>
+    val perRank = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderkey"))).as("keys"))
+    perRank
+      .groupBy(col("o_custkey"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("o_orderpriority"), col("keys")))),
+        r => r.getField("keys")).as("keyss"))
+      .withColumn("overall", flatten(col("keyss")))
+      .withColumn("all", concat(col("keyss"), array(col("overall"))))
+      .select(col("o_custkey"), explode(col("all")).as("terms"))
+      .select(col("o_custkey"),
+        array_join(transform(col("terms"), x => x.cast("string")), ",").as("terms"))
   }
 
   // -------------------------------------------- P: projections / predicates
@@ -703,6 +842,27 @@ object RelationalQueries {
     graft.core.Skew.saltedCount(t(s, dir, "lineitem"), Seq("l_returnflag"))
   }
 
+  /** Salted replicated join (core.Skew.saltedJoin) for a skewed left side
+    * against a right side too big to broadcast: left rows take a random
+    * salt, the right side replicates across all salt values, the join key
+    * becomes (key, salt) — each hot key spreads over `salts` reducers.
+    * The salt is physical-partitioning-dependent, so the plain-join
+    * oracle verifying the SAME aggregate is exactly the claim that
+    * matters: result equals an unsalted inner equi-join.
+    */
+  val saltedJoin: Q = Q(
+    "a19_salted_join",
+    """SELECT s_name, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin) { (s, dir) =>
+    val left = t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val right = t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.core.Skew.saltedJoin(left, right, "suppkey", salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+  }
+
   val zorderKey: Q = {
     val bits = 8
     val interleave = (0 until bits).map(k =>
@@ -728,10 +888,11 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     pricingSummary, collectSorted, groupMinMax, countDistinctQ, distinctQ,
-    keyedDedup, approxDistinct, runningSum, twoLevelMin, denseRankTop1,
+    keyedDedup, approxDistinct, trainingBags, runningSum, twoLevelMin, denseRankTop1,
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,
+    doubleResolutionJoin, lenientRankJoin, strictRankJoin,
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, editDistance, groupingSets, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs, saltedCount, rankFuncs, zorderKey)
+    statsAggs, saltedCount, saltedJoin, rankFuncs, zorderKey)
 }
