@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL ([[Media.ImageIoDecoder]]: the JDK's built-in
   * javax.imageio codecs — PNG/JPEG/BMP/GIF), WAV/PCM audio decode is
-  * REAL ([[Media.WavDecoder]]: javax.sound.sampled), and MJPEG/AVI
-  * video decode is REAL ([[Media.MjpegAviDecoder]]: RIFF chunk walk +
-  * per-frame imageio) — all zero external dependencies. Only video
-  * containers without an in-JDK demuxer (mp4/mkv) fall back to the
+  * REAL ([[Media.WavDecoder]]: javax.sound.sampled), MJPEG/AVI video
+  * decode is REAL ([[Media.MjpegAviDecoder]]: RIFF chunk walk +
+  * per-frame imageio), and mp4 METADATA parsing is REAL
+  * ([[Media.parseMp4Meta]]: ISO-BMFF box walker — duration, timescale,
+  * tracks, video dimensions, codec fourcc) — all zero external
+  * dependencies. The one remaining stub is frame DECODE for containers
+  * without an in-JDK demuxer+codec (mp4/mkv): those fall back to the
   * clearly-marked deterministic [[Media.StubDecoder]] behind the same
   * `Decoder` trait (a production binding would use ffmpeg/jcodec).
   * Everything Spark-side (schema, batching, partition sizing, metadata
@@ -28,6 +31,9 @@ final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
 
 final case class FrameFeatures(doc_id: Long, frame_no: Int, width: Int,
     height: Int, feature: Array[Float])
+
+final case class Mp4Meta(doc_id: Long, duration_ms: Long, timescale: Int,
+    n_tracks: Int, width: Int, height: Int, codec: String)
 
 object Media {
 
@@ -246,10 +252,11 @@ object Media {
 
   /** Deterministic fake decoder: dimensions and features derived from the
     * payload bytes, so specs can assert exact values. STUB — now the
-    * binding only for video CONTAINERS without an in-JDK demuxer
-    * (mp4/mkv; a production binding would bridge ffmpeg/jcodec): images
-    * decode for real via [[ImageIoDecoder]], WAV audio via
-    * [[WavDecoder]], and MJPEG/AVI video via [[MjpegAviDecoder]].
+    * binding only for frame DECODE of video containers without an in-JDK
+    * demuxer+codec (mp4/mkv; a production binding would bridge
+    * ffmpeg/jcodec): images decode for real via [[ImageIoDecoder]], WAV
+    * audio via [[WavDecoder]], MJPEG/AVI video via [[MjpegAviDecoder]],
+    * and mp4 METADATA parses for real via [[parseMp4Meta]].
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -457,6 +464,194 @@ object Media {
         } catch {
           case _: Exception if lenient => Iterator.empty
         }
+      }
+    }
+  }
+
+  // ------------------------------------------------------ ISO-BMFF (mp4)
+
+  /** Pure-JDK ISO-BMFF (mp4) METADATA parser: walks the box tree
+    * (`ftyp`/`moov`/`mvhd`/`trak`/`tkhd`/`mdia`/`minf`/`stbl`/`stsd`,
+    * ISO/IEC 14496-12 layouts, both version-0 and version-1 full boxes,
+    * 64-bit `largesize` and size-0 to-end boxes included) and returns
+    * presentation duration, movie timescale, track count, and the video
+    * track's pixel dimensions + sample-entry codec fourcc. This is the
+    * metadata half of mp4 support — the half a corpus pipeline needs for
+    * governance/filtering (duration caps, resolution buckets, codec
+    * allowlists) before any expensive decode; frame DECODE still needs an
+    * external demuxer+codec (ffmpeg/jcodec — unavailable offline), which
+    * remains the one declared stub.
+    *
+    * Malformed payloads (bad magic, truncated box, missing moov/mvhd,
+    * zero timescale) THROW IllegalArgumentException; `lenient`
+    * extraction drops them. duration_ms rounds down
+    * (`duration · 1000 / timescale` in long arithmetic); the synthetic
+    * fixtures make it exact so the SQL oracle replays it with integer
+    * arithmetic.
+    */
+  private[multimodal] def parseMp4Meta(payload: Array[Byte]): (Long, Int, Int, Int, Int, String) = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"payload is not a parseable mp4 ($msg, ${payload.length} bytes)")
+    def u32(o: Int): Long = {
+      if (o + 4 > payload.length) bad(s"truncated u32 at $o")
+      (payload(o) & 0xffL) << 24 | (payload(o + 1) & 0xffL) << 16 |
+        (payload(o + 2) & 0xffL) << 8 | (payload(o + 3) & 0xffL)
+    }
+    def u64(o: Int): Long = u32(o) << 32 | u32(o + 4)
+    def fourcc(o: Int): String = {
+      if (o + 4 > payload.length) bad(s"truncated fourcc at $o")
+      new String(payload, o, 4, "US-ASCII")
+    }
+    /** (type, bodyStart, bodyEnd) of each box in [start, stop). */
+    def boxes(start: Int, stop: Int): Vector[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var o = start
+      while (o + 8 <= stop) {
+        val size32 = u32(o)
+        val typ = fourcc(o + 4)
+        val (body, end) =
+          if (size32 == 1L) { // 64-bit largesize follows the type
+            val sz = u64(o + 8)
+            if (sz < 16 || o + sz > stop) bad(s"bad largesize box $typ")
+            (o + 16, o + sz.toInt)
+          } else if (size32 == 0L) (o + 8, stop) // box extends to end
+          else {
+            if (size32 < 8 || o + size32 > stop) bad(s"truncated box $typ")
+            (o + 8, o + size32.toInt)
+          }
+        out += ((typ, body, end))
+        o = end
+      }
+      out.result()
+    }
+    if (payload.length < 16) bad("too short")
+    val top = boxes(0, payload.length)
+    if (top.isEmpty || top.head._1 != "ftyp") bad("no ftyp magic")
+    val (_, moovStart, moovEnd) = top.find(_._1 == "moov").getOrElse(bad("no moov"))
+    val moov = boxes(moovStart, moovEnd)
+    // mvhd: movie timescale + presentation duration (v0: 32-bit fields,
+    // v1: 64-bit creation/modification/duration)
+    val (_, mv, _) = moov.find(_._1 == "mvhd").getOrElse(bad("no mvhd"))
+    val mvhdVersion = payload(mv) & 0xff
+    val (timescale, duration) =
+      if (mvhdVersion == 1) (u32(mv + 20), u64(mv + 24))
+      else (u32(mv + 12), u32(mv + 16))
+    if (timescale <= 0) bad("zero mvhd timescale")
+    val traks = moov.filter(_._1 == "trak")
+    if (traks.isEmpty) bad("no trak")
+    // tkhd width/height are 16.16 fixed point at body offset 76/80 (v0)
+    // or 88/92 (v1); the video track is the first with nonzero dims
+    def trakDims(body: Int, end: Int): (Int, Int) =
+      boxes(body, end).find(_._1 == "tkhd") match {
+        case Some((_, b, _)) =>
+          val off = if ((payload(b) & 0xff) == 1) b + 88 else b + 76
+          ((u32(off) >> 16).toInt, (u32(off + 4) >> 16).toInt)
+        case None => (0, 0)
+      }
+    // stsd's first sample entry carries the codec fourcc
+    def trakCodec(body: Int, end: Int): String = {
+      val path = List("mdia", "minf", "stbl")
+      val stbl = path.foldLeft(Option((body, end))) { (acc, name) =>
+        acc.flatMap { case (b, e) => boxes(b, e).find(_._1 == name).map(x => (x._2, x._3)) }
+      }
+      stbl.flatMap { case (b, e) => boxes(b, e).find(_._1 == "stsd") } match {
+        case Some((_, b, e)) if b + 16 <= e && u32(b + 4) >= 1 => fourcc(b + 12)
+        case _ => "none"
+      }
+    }
+    val video = traks.map { case (_, b, e) => (trakDims(b, e), (b, e)) }
+      .find { case ((w, h), _) => w > 0 && h > 0 }
+    val (w, h) = video.map(_._1).getOrElse((0, 0))
+    val codec = video.map { case (_, (b, e)) => trakCodec(b, e) }.getOrElse("none")
+    (duration * 1000L / timescale, timescale.toInt, traks.size, w, h, codec)
+  }
+
+  /** mp4 metadata extraction over binary payloads — one box walk per
+    * payload per partition, map-side only (the m4–m7 batch shape).
+    * `lenient` drops malformed containers.
+    */
+  def extractMp4Meta(rows: Dataset[MediaRow], spark: SparkSession,
+      lenient: Boolean = false): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val (ms, ts, n, w, h, codec) = parseMp4Meta(r.payload)
+          Iterator.single(Mp4Meta(r.doc_id, ms, ts, n, w, h, codec))
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL mp4 (ISO-BMFF) payloads derived purely from doc
+    * ids: a structurally honest `ftyp` + `moov`(`mvhd` + n×`trak`) tree
+    * with correct box sizes. Movie timescale is `600·(1 + id % 3)`,
+    * duration `(1 + id % 8)·timescale/2` units (= exactly
+    * `500·(1 + id % 8)` ms — the fixture keeps duration·1000 divisible
+    * by timescale so the oracle replays the arithmetic in SQL integers).
+    * `1 + id % 3` tracks: track 0 is the video track (tkhd 16.16 dims
+    * `16·(1 + id % 8) × 16·(1 + id % 6)`, stsd codec fourcc cycling
+    * avc1/hvc1/vp09/av01 by `id % 4`); further tracks are audio-shaped
+    * (zero dims, `mp4a`). mvhd and tkhd alternate version 0/1 by id
+    * parity, exercising both full-box layouts. Every 11th payload is
+    * truncated to 8 bytes for the `lenient` drop path.
+    */
+  def syntheticMp4s(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val v = (id % 2).toInt // full-box version for mvhd/tkhd
+        val timescale = 600 * (1 + id % 3).toInt
+        val duration = (1 + id % 8) * timescale / 2
+        val nTracks = (1 + id % 3).toInt
+        val codec = Seq("avc1", "hvc1", "vp09", "av01")((id % 4).toInt)
+        val out = new java.io.ByteArrayOutputStream()
+        val bb = new java.io.DataOutputStream(out)
+        def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+        def box(typ: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(b)
+          d.writeInt(8 + body.length); d.write(typ.getBytes("US-ASCII")); d.write(body)
+          b.toByteArray
+        }
+        def fullBox(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+          box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ body)
+        def be32(x: Long): Array[Byte] =
+          Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+            ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+        def be64(x: Long): Array[Byte] = be32(x >> 32) ++ be32(x & 0xffffffffL)
+
+        val mvhd = fullBox("mvhd", v,
+          (if (v == 1) be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration)
+           else be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration)) ++
+            be32(0x00010000) ++ Array.fill[Byte](2 + 10 + 36 + 24)(0) ++ be32(nTracks + 1L))
+        def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = fullBox("tkhd", v,
+          (if (v == 1) be64(0) ++ be64(0) ++ be32(trackId) ++ be32(0) ++ be64(duration)
+           else be32(0) ++ be32(0) ++ be32(trackId) ++ be32(0) ++ be32(duration)) ++
+            Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+            be32(w.toLong << 16) ++ be32(h.toLong << 16))
+        def trak(trackId: Int, w: Int, h: Int, fmt: String): Array[Byte] = {
+          val mdhd = fullBox("mdhd", 0,
+            be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++ Array[Byte](0, 0, 0, 0))
+          val entry = box(fmt, Array.fill[Byte](8)(0)) // 6 reserved + 2 data_ref_idx
+          val stsd = fullBox("stsd", 0, be32(1) ++ entry)
+          val stbl = box("stbl", stsd)
+          val minf = box("minf", stbl)
+          val mdia = box("mdia", mdhd ++ minf)
+          box("trak", tkhd(trackId, w, h) ++ mdia)
+        }
+        val tracks = (0 until nTracks).map { i =>
+          if (i == 0) trak(1, 16 * (1 + id % 8).toInt, 16 * (1 + id % 6).toInt, codec)
+          else trak(i + 1, 0, 0, "mp4a")
+        }.reduce(_ ++ _)
+        val moov = box("moov", mvhd ++ tracks)
+        bb.writeInt(20); cc("ftyp"); cc("isom"); bb.writeInt(0x200); cc("isom")
+        bb.write(moov)
+        val bytes = out.toByteArray
+        MediaRow(id, "video/mp4",
+          if (id % 11 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
       }
     }
   }

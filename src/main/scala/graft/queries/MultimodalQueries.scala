@@ -217,6 +217,33 @@ object MultimodalQueries {
         round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
   }
 
+  /** REAL ISO-BMFF (mp4) metadata parse inside the driver-checked
+    * surface: deterministic hand-rolled mp4 box trees generated from doc
+    * ids (Media.syntheticMp4s — ftyp + moov/mvhd/trak/tkhd/mdia/mdhd/
+    * stsd with correct sizes, mvhd+tkhd alternating version 0/1 by id
+    * parity), every 11th payload truncated/corrupt, parsed per-partition
+    * by the pure-JDK box walker in `lenient` mode (corrupt payloads
+    * DROPPED; the oracle's `doc_id % 11 <> 0` asserts exactly that drop
+    * set). The fixture keeps duration·1000 divisible by the movie
+    * timescale, so duration_ms, timescale, track count, video-track
+    * dimensions and codec fourcc are all replayed by pure SQL integer
+    * arithmetic.
+    */
+  val mp4Meta: Q = Q(
+    "m8_mp4_meta",
+    """SELECT doc_id,
+      |  CAST(500 * (1 + doc_id % 8) AS BIGINT) AS duration_ms,
+      |  CAST(600 * (1 + doc_id % 3) AS INT) AS timescale,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+      |  CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+      |  CAST(16 * (1 + doc_id % 6) AS INT) AS height,
+      |  CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+      |       WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec
+      |FROM documents WHERE doc_id % 11 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticMp4s(t(s, dir, "documents"), s)
+    graft.multimodal.Media.extractMp4Meta(rows, s, lenient = true).toDF()
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
-    audioFeatures, videoFeatures, frameFeatures)
+    audioFeatures, videoFeatures, frameFeatures, mp4Meta)
 }

@@ -289,6 +289,49 @@ class MediaSpec extends SparkSpec {
       byDoc.keySet.toSeq.map(id => (1 + id % 4)).sum
   }
 
+  "parseMp4Meta" should "round-trip doc-id-derived box trees through the ISO-BMFF walker" in {
+    val rows = Media.syntheticMp4s(docs, spark)
+    val metas = Media.extractMp4Meta(rows, spark, lenient = true).cache()
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    // every 11th payload is truncated — lenient drops exactly those
+    metas.select("doc_id").as[Long].collect().toSet shouldBe ids.filter(_ % 11 != 0)
+    metas.collect().foreach { m =>
+      val id = m.doc_id
+      m.duration_ms shouldBe 500 * (1 + id % 8)
+      m.timescale shouldBe 600 * (1 + id % 3)
+      m.n_tracks shouldBe (1 + id % 3)
+      m.width shouldBe 16 * (1 + id % 8)
+      m.height shouldBe 16 * (1 + id % 6)
+      m.codec shouldBe Seq("avc1", "hvc1", "vp09", "av01")((id % 4).toInt)
+    }
+    // both full-box versions exercised (mvhd/tkhd v0 for even ids, v1 odd)
+    ids.filter(_ % 11 != 0).map(_ % 2).size should be > 1
+  }
+
+  it should "handle 64-bit largesize boxes and reject malformed trees" in {
+    // wrap a fixture's moov in a largesize box: same body, size32=1 +
+    // 64-bit size — the layout real >4 GiB mdat-bearing files use
+    val sample = Media.syntheticMp4s(docs.filter(col("doc_id") === 1), spark)
+      .collect().head.payload
+    val ftypLen = 20
+    val moov = sample.drop(ftypLen)
+    def be32(x: Long) = Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    val large = be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be32(0) ++ be32(moov.length + 8L) ++ moov.drop(8)
+    val rebuilt = sample.take(ftypLen) ++ large
+    val (ms, ts, n, w, h, codec) = Media.parseMp4Meta(rebuilt)
+    ms shouldBe 500 * 2 // id 1: (1 + 1 % 8) * 500
+    ts shouldBe 1200
+    (n, w, h, codec) shouldBe ((2, 32, 32, "hvc1"))
+
+    // malformed payloads throw (and therefore drop under lenient)
+    an[IllegalArgumentException] should be thrownBy
+      Media.parseMp4Meta("RIFFxxxxAVI LIST".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Media.parseMp4Meta(sample.take(40)) // truncated mid-moov
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
