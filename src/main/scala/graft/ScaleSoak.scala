@@ -55,15 +55,20 @@ object ScaleSoak {
       // block leader's content for dup/near-dup rows, own id otherwise
       "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
       "cast(id % 50 = 3 as boolean) as near")
-      .selectExpr(
-        "doc_id",
-        """concat(
-          |  concat_ws(' ', transform(sequence(0, 35),
-          |    i -> case when i % 10 = 0 then 'the'
-          |              when i % 10 = 5 then 'and'
-          |              else concat('w', pmod(xxhash64(seed, i), 9973)) end)),
-          |  case when near then concat(' of extra', doc_id) else ' of note' end
-          |) as text""".stripMargin)
+      .selectExpr("doc_id", s"$textFromSeedSql as text")
+
+  /** The seed → text expression shared by [[documents]] and StreamSoak's
+    * cross-batch generator: expects `seed` (long), `near` (boolean) and
+    * `doc_id` columns in scope.
+    */
+  def textFromSeedSql: String =
+    """concat(
+      |  concat_ws(' ', transform(sequence(0, 35),
+      |    i -> case when i % 10 = 0 then 'the'
+      |              when i % 10 = 5 then 'and'
+      |              else concat('w', pmod(xxhash64(seed, i), 9973)) end)),
+      |  case when near then concat(' of extra', doc_id) else ' of note' end
+      |)""".stripMargin
 
   /** Deterministic unit-free embeddings: dim values in [-0.5, 0.5) from
     * xxhash64 of (seed, dim) — hashed, not affine, for the same
@@ -168,6 +173,31 @@ object ScaleSoak {
       graft.ann.Ann.ivfSearch(indexed, "label", queries, k = 10, nprobe = 2).count()
     }
     timed("int8_quantize") { sinkCount(graft.ann.Ann.quantizeInt8(emb)) }
+    // the lsh payload pair measures SHUFFLE-JOIN payload cost, so force
+    // shuffle plans: spark.range's tiny size estimate otherwise baits the
+    // planner into BROADCASTING the multi-GB banded frame — a plan a real
+    // corpus-scale band join can never take (and whose driver
+    // materialization cost swamps the thing being measured)
+    def noBroadcast(f: => Long): Long = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try f finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      }
+    }
+    timed("lsh_pairs_carry") {
+      // vectors ride the band-key shuffle (2 exchanges, dim-wide rows):
+      // paired with lsh_pairs_rejoin below, this measures the payload
+      // tradeoff GRAFT_SOAK_DIM sweeps — see SCALE.md lsh payload table
+      noBroadcast(graft.ann.Ann.lshPairs(emb, dim = dim, carryVectors = Some(true)).count())
+    }
+    timed("lsh_pairs_rejoin") {
+      // ids-only band shuffle + two re-attach equi-joins, pairs dedup'd
+      // BEFORE any cosine
+      noBroadcast(graft.ann.Ann.lshPairs(emb, dim = dim, carryVectors = Some(false)).count())
+    }
     timed("shuffle_order") {
       sinkCount(graft.dedup.Sampling.shuffleOrder(corpus.select("doc_id"), "doc_id"))
     }
