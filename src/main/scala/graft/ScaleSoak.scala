@@ -1,8 +1,9 @@
 package graft
 
+import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Sessions
@@ -107,6 +108,11 @@ object ScaleSoak {
     val shuffleBytes = new AtomicLong
     val spillBytes = new AtomicLong
     val peakStageShuffle = new AtomicLong
+    // per-task run times, drained per soak stage: p99/median is the
+    // straggler diagnostic for wall-superlinear-at-linear-shuffle stages
+    // boxed Long on purpose: with scala.Long the poll()-vs-null check
+    // unboxes null to 0 and the drain loop never terminates
+    val taskMillis = new ConcurrentLinkedQueue[java.lang.Long]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -117,6 +123,8 @@ object ScaleSoak {
           peakStageShuffle.updateAndGet(p => math.max(p, w))
         }
       }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) taskMillis.add(te.taskMetrics.executorRunTime)
     })
 
     def sink(df: DataFrame): Unit =
@@ -130,15 +138,28 @@ object ScaleSoak {
     val onlyStages = sys.env.get("GRAFT_SOAK_STAGES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    var results = Vector.empty[(String, Double, Long, Long, Long)]
+    var results = Vector.empty[(String, Double, Long, Long, Long, String)]
     def timed(name: String)(f: => Long): Unit = if (onlyStages.forall(_(name))) {
+      taskMillis.clear()
       val (s0, p0) = (shuffleBytes.get, spillBytes.get)
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
-      results :+= ((name, sec, shuffleBytes.get - s0, spillBytes.get - p0, rows))
+      // wait for straggler task-end events already in flight
+      Thread.sleep(200)
+      val ts = {
+        val b = Vector.newBuilder[Long]
+        var v = taskMillis.poll(); while (v ne null) { b += v.longValue; v = taskMillis.poll() }
+        b.result().sorted
+      }
+      val skew = if (ts.isEmpty) """{"tasks":0}""" else {
+        def q(p: Double) = ts(math.min(ts.size - 1, (p * ts.size).toInt))
+        s"""{"tasks":${ts.size},"p50_ms":${q(0.5)},"p99_ms":${q(0.99)},""" +
+          s""""max_ms":${ts.last},"sum_task_sec":${ts.sum / 1000}}"""
+      }
+      results :+= ((name, sec, shuffleBytes.get - s0, spillBytes.get - p0, rows, skew))
       System.err.println(f"[soak] $name%-22s $sec%8.1f s  " +
-        f"shuffle ${(shuffleBytes.get - s0) / 1e9}%8.3f GB  rows $rows%d")
+        f"shuffle ${(shuffleBytes.get - s0) / 1e9}%8.3f GB  rows $rows%d  skew $skew")
     }
     def sinkCount(df: DataFrame): Long = { sink(df); -1L }
 
@@ -219,7 +240,11 @@ object ScaleSoak {
       graft.text.TextSearch.bm25TopK(corpus, queries, k = 10).count()
     }
     timed("tfidf_topterms") {
-      graft.text.TextSearch.tfidfTopTerms(corpus, k = 3).count()
+      // maxDfRatio 0.5 is the at-scale configuration: corpus stopwords
+      // (df ≈ N) are the hot join/window keys behind the measured 16×
+      // straggler and can never win a top-k slot anyway
+      graft.text.TextSearch.tfidfTopTerms(corpus, k = 3,
+        maxDfRatio = Some(0.5)).count()
     }
     timed("contrastive_triples") {
       // pairs straight from the planted 50-block dup structure (the
@@ -231,8 +256,8 @@ object ScaleSoak {
     }
 
     val total = results.map(_._2).sum
-    val stages = results.map { case (n, s, sh, sp, r) =>
-      s""""$n":{"sec":$s,"shuffle_bytes":$sh,"spill_bytes":$sp,"rows":$r}"""
+    val stages = results.map { case (n, s, sh, sp, r, skew) =>
+      s""""$n":{"sec":$s,"shuffle_bytes":$sh,"spill_bytes":$sp,"rows":$r,"task_skew":$skew}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"soak_total","value":$total,"unit":"sec","docs":$docs,""" +
       s""""vecs":$vecs,"dim":$dim,"docs_per_sec":${(docs / total).toLong},""" +

@@ -159,11 +159,27 @@ object TextSearch {
       .filter(col("rank") <= k)
   }
 
-  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** Top-k tf-idf terms per document. `maxDfRatio` (opt-in) drops terms
+    * whose document frequency exceeds that fraction of the corpus BEFORE
+    * the scoring join — the jaccardPairs maxShingleDf discipline applied
+    * to retrieval: a term in more than half the corpus scores
+    * ~tf·(N+1)/(df+1) ≈ tf and cannot beat any selective term for a
+    * top-k slot, yet its postings are exactly the hot keys that turn one
+    * reducer into a straggler (measured at 10M docs: the corpus
+    * stopwords made one task run 16× the median with 2.5 GB of sort
+    * spill — SCALE.md). None preserves exact unfiltered semantics (the
+    * x18 oracle shape).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+      maxDfRatio: Option[Double] = None): DataFrame = {
     val tf = termFreqs(docs).filter(col("term").isNotNull)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreqAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // metadata-cheap: count(*) over parquet prunes every column
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = maxDfRatio.fold(dfreqAll)(r =>
+      dfreqAll.crossJoin(broadcast(n))
+        .filter(col("df") <= col("n_docs") * r)
+        .drop("n_docs"))
     val score = col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, Seq("term"))

@@ -59,6 +59,21 @@ class TextSearchSpec extends SparkSpec {
       .select("score").as[Double].head() shouldBe 4.0
   }
 
+  it should "drop only never-winning corpus-hot terms under maxDfRatio" in {
+    // a corpus where 'filler' is in EVERY doc (df = N) plus one selective
+    // term per doc: the capped variant must produce the IDENTICAL top-k —
+    // a df ≈ N term scores ~tf and cannot beat a selective term — while
+    // removing the hot join/window key (the measured 10M-doc straggler)
+    val corpus = (1L to 20L).map(i =>
+      (i, s"filler filler filler w$i w$i extra$i")).toDF("doc_id", "text")
+    val uncapped = TextSearch.tfidfTopTerms(corpus, k = 2)
+    val capped = TextSearch.tfidfTopTerms(corpus, k = 2, maxDfRatio = Some(0.5))
+    capped.exceptAll(uncapped).count() shouldBe 0
+    uncapped.exceptAll(capped).count() shouldBe 0
+    // and the hot term is genuinely gone from the capped scoring stream
+    capped.filter(col("term") === "filler").count() shouldBe 0
+  }
+
   "rrfFuse" should "score both-list docs by the exact two-term RRF sum" in {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val vec = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
