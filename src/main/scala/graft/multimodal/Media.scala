@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
   * javax.imageio codecs — PNG/JPEG/BMP/GIF), WAV/PCM audio decode is
   * REAL ([[Media.WavDecoder]]: javax.sound.sampled), MJPEG/AVI video
   * decode is REAL ([[Media.MjpegAviDecoder]]: RIFF chunk walk +
-  * per-frame imageio), and mp4 METADATA parsing is REAL
+  * per-frame imageio), mp4 METADATA parsing is REAL
   * ([[Media.parseMp4Meta]]: ISO-BMFF box walker — duration, timescale,
-  * tracks, video dimensions, codec fourcc) — all zero external
-  * dependencies. The one remaining stub is frame DECODE for containers
-  * without an in-JDK demuxer+codec (mp4/mkv): those fall back to the
-  * clearly-marked deterministic [[Media.StubDecoder]] behind the same
-  * `Decoder` trait (a production binding would use ffmpeg/jcodec).
-  * Everything Spark-side (schema, batching, partition sizing, metadata
-  * flow) is real and tested.
+  * tracks, video dimensions, codec fourcc), and mp4 DEMUX + JPEG-track
+  * frame decode are REAL ([[Media.parseMp4Samples]]: stsz/stsc/stco/co64
+  * sample tables → per-frame byte ranges; [[Media.extractMp4Frames]]
+  * decodes `jpeg`-fourcc samples through imageio) — all zero external
+  * dependencies. The one remaining stub is the sample-byte decode for
+  * inter-frame codecs (H.264/HEVC/VP9/AV1, and mkv containers): those
+  * fall back to the clearly-marked deterministic [[Media.StubDecoder]]
+  * behind the same `Decoder` trait (a production binding would use
+  * ffmpeg/jcodec). Everything Spark-side (schema, batching, partition
+  * sizing, metadata flow) is real and tested.
   */
 final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -252,11 +255,13 @@ object Media {
 
   /** Deterministic fake decoder: dimensions and features derived from the
     * payload bytes, so specs can assert exact values. STUB — now the
-    * binding only for frame DECODE of video containers without an in-JDK
-    * demuxer+codec (mp4/mkv; a production binding would bridge
-    * ffmpeg/jcodec): images decode for real via [[ImageIoDecoder]], WAV
-    * audio via [[WavDecoder]], MJPEG/AVI video via [[MjpegAviDecoder]],
-    * and mp4 METADATA parses for real via [[parseMp4Meta]].
+    * binding only for sample-byte decode of inter-frame video codecs
+    * (H.264/HEVC/VP9/AV1, and mkv containers; a production binding would
+    * bridge ffmpeg/jcodec): images decode for real via
+    * [[ImageIoDecoder]], WAV audio via [[WavDecoder]], MJPEG/AVI video
+    * via [[MjpegAviDecoder]], mp4 METADATA parses for real via
+    * [[parseMp4Meta]], and JPEG-track mp4 frames decode for real via
+    * [[extractMp4Frames]] (sample-table demux + imageio).
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -478,9 +483,10 @@ object Media {
     * track's pixel dimensions + sample-entry codec fourcc. This is the
     * metadata half of mp4 support — the half a corpus pipeline needs for
     * governance/filtering (duration caps, resolution buckets, codec
-    * allowlists) before any expensive decode; frame DECODE still needs an
-    * external demuxer+codec (ffmpeg/jcodec — unavailable offline), which
-    * remains the one declared stub.
+    * allowlists) before any expensive decode; the demux half lives in
+    * [[parseMp4Samples]], and frame decode ([[extractMp4Frames]]) is real
+    * for `jpeg`-fourcc tracks — only inter-frame codec BYTES (H.264/VP9…)
+    * still need an external decoder, the one declared stub.
     *
     * Malformed payloads (bad magic, truncated box, missing moov/mvhd,
     * zero timescale) THROW IllegalArgumentException; `lenient`
@@ -489,8 +495,14 @@ object Media {
     * fixtures make it exact so the SQL oracle replays it with integer
     * arithmetic.
     */
-  private[multimodal] def parseMp4Meta(payload: Array[Byte]): (Long, Int, Int, Int, Int, String) = {
-    def bad(msg: String) = throw new IllegalArgumentException(
+  /** Shared ISO-BMFF primitives for [[parseMp4Meta]] and
+    * [[parseMp4Samples]]: big-endian field reads plus the
+    * (type, bodyStart, bodyEnd) child enumeration handling 64-bit
+    * `largesize` and size-0 to-end boxes. All reads bounds-check and
+    * throw IllegalArgumentException (drops under `lenient`).
+    */
+  private final class BmffWalker(payload: Array[Byte]) {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
       s"payload is not a parseable mp4 ($msg, ${payload.length} bytes)")
     def u32(o: Int): Long = {
       if (o + 4 > payload.length) bad(s"truncated u32 at $o")
@@ -502,6 +514,8 @@ object Media {
       if (o + 4 > payload.length) bad(s"truncated fourcc at $o")
       new String(payload, o, 4, "US-ASCII")
     }
+    /** Full-box version byte at the start of a box body. */
+    def version(body: Int): Int = payload(body) & 0xff
     /** (type, bodyStart, bodyEnd) of each box in [start, stop). */
     def boxes(start: Int, stop: Int): Vector[(String, Int, Int)] = {
       val out = Vector.newBuilder[(String, Int, Int)]
@@ -524,46 +538,133 @@ object Media {
       }
       out.result()
     }
-    if (payload.length < 16) bad("too short")
-    val top = boxes(0, payload.length)
-    if (top.isEmpty || top.head._1 != "ftyp") bad("no ftyp magic")
-    val (_, moovStart, moovEnd) = top.find(_._1 == "moov").getOrElse(bad("no moov"))
-    val moov = boxes(moovStart, moovEnd)
-    // mvhd: movie timescale + presentation duration (v0: 32-bit fields,
-    // v1: 64-bit creation/modification/duration)
-    val (_, mv, _) = moov.find(_._1 == "mvhd").getOrElse(bad("no mvhd"))
-    val mvhdVersion = payload(mv) & 0xff
-    val (timescale, duration) =
-      if (mvhdVersion == 1) (u32(mv + 20), u64(mv + 24))
-      else (u32(mv + 12), u32(mv + 16))
-    if (timescale <= 0) bad("zero mvhd timescale")
-    val traks = moov.filter(_._1 == "trak")
-    if (traks.isEmpty) bad("no trak")
-    // tkhd width/height are 16.16 fixed point at body offset 76/80 (v0)
-    // or 88/92 (v1); the video track is the first with nonzero dims
+    /** Descend a path of nested boxes, first match at each level. */
+    def firstPath(start: Int, stop: Int, path: List[String]): Option[(Int, Int)] =
+      path.foldLeft(Option((start, stop))) { (acc, name) =>
+        acc.flatMap { case (b, e) => boxes(b, e).find(_._1 == name).map(x => (x._2, x._3)) }
+      }
+    /** moov body range; requires the ftyp magic first. */
+    def moovRange(): (Int, Int) = {
+      if (payload.length < 16) bad("too short")
+      val top = boxes(0, payload.length)
+      if (top.isEmpty || top.head._1 != "ftyp") bad("no ftyp magic")
+      val (_, b, e) = top.find(_._1 == "moov").getOrElse(bad("no moov"))
+      (b, e)
+    }
+    /** tkhd width/height: 16.16 fixed point at body offset 76/80 (v0) or
+      * 88/92 (v1); (0, 0) when the trak has no tkhd.
+      */
     def trakDims(body: Int, end: Int): (Int, Int) =
       boxes(body, end).find(_._1 == "tkhd") match {
         case Some((_, b, _)) =>
-          val off = if ((payload(b) & 0xff) == 1) b + 88 else b + 76
+          val off = if (version(b) == 1) b + 88 else b + 76
           ((u32(off) >> 16).toInt, (u32(off + 4) >> 16).toInt)
         case None => (0, 0)
       }
-    // stsd's first sample entry carries the codec fourcc
-    def trakCodec(body: Int, end: Int): String = {
-      val path = List("mdia", "minf", "stbl")
-      val stbl = path.foldLeft(Option((body, end))) { (acc, name) =>
-        acc.flatMap { case (b, e) => boxes(b, e).find(_._1 == name).map(x => (x._2, x._3)) }
-      }
-      stbl.flatMap { case (b, e) => boxes(b, e).find(_._1 == "stsd") } match {
+    /** stsd's first sample entry carries the codec fourcc. */
+    def stsdCodec(stblBody: Int, stblEnd: Int): String =
+      boxes(stblBody, stblEnd).find(_._1 == "stsd") match {
         case Some((_, b, e)) if b + 16 <= e && u32(b + 4) >= 1 => fourcc(b + 12)
         case _ => "none"
       }
-    }
-    val video = traks.map { case (_, b, e) => (trakDims(b, e), (b, e)) }
+  }
+
+  private[multimodal] def parseMp4Meta(payload: Array[Byte]): (Long, Int, Int, Int, Int, String) = {
+    val bmff = new BmffWalker(payload)
+    val (moovStart, moovEnd) = bmff.moovRange()
+    val moov = bmff.boxes(moovStart, moovEnd)
+    // mvhd: movie timescale + presentation duration (v0: 32-bit fields,
+    // v1: 64-bit creation/modification/duration)
+    val (_, mv, _) = moov.find(_._1 == "mvhd").getOrElse(bmff.bad("no mvhd"))
+    val (timescale, duration) =
+      if (bmff.version(mv) == 1) (bmff.u32(mv + 20), bmff.u64(mv + 24))
+      else (bmff.u32(mv + 12), bmff.u32(mv + 16))
+    if (timescale <= 0) bmff.bad("zero mvhd timescale")
+    val traks = moov.filter(_._1 == "trak")
+    if (traks.isEmpty) bmff.bad("no trak")
+    // the video track is the first with nonzero tkhd dims
+    val video = traks.map { case (_, b, e) => (bmff.trakDims(b, e), (b, e)) }
       .find { case ((w, h), _) => w > 0 && h > 0 }
     val (w, h) = video.map(_._1).getOrElse((0, 0))
-    val codec = video.map { case (_, (b, e)) => trakCodec(b, e) }.getOrElse("none")
+    val codec = video.map { case (_, (b, e)) =>
+      bmff.firstPath(b, e, List("mdia", "minf", "stbl"))
+        .map { case (sb, se) => bmff.stsdCodec(sb, se) }.getOrElse("none")
+    }.getOrElse("none")
     (duration * 1000L / timescale, timescale.toInt, traks.size, w, h, codec)
+  }
+
+  /** Sample-table half of mp4 support: walks the video track's `stbl`
+    * (`stsz` fixed-or-per-sample sizes, `stsc` sample-to-chunk runs,
+    * `stco`/`co64` 32/64-bit chunk offsets — ISO/IEC 14496-12 §8.7) and
+    * returns the stsd codec fourcc plus every sample's absolute
+    * (offset, length) byte range in the container. This is the demux half
+    * of frame decode: with it, any track whose samples are self-contained
+    * images (`jpeg` fourcc MJPEG-in-mp4) decodes with zero external
+    * dependencies; inter-frame codecs (avc1/hvc1/vp09/av01) still need an
+    * external decoder for the sample BYTES, but their ranges come out of
+    * this same walk. Malformed tables (missing boxes, out-of-bounds
+    * ranges, runs that don't cover the sample count) THROW; `lenient`
+    * extraction drops them.
+    */
+  private[multimodal] def parseMp4Samples(payload: Array[Byte]): (String, Vector[(Int, Int)]) = {
+    val bmff = new BmffWalker(payload)
+    val (moovStart, moovEnd) = bmff.moovRange()
+    val moov = bmff.boxes(moovStart, moovEnd)
+    val traks = moov.filter(_._1 == "trak")
+    if (traks.isEmpty) bmff.bad("no trak")
+    val (tb, te) = traks
+      .find { case (_, b, e) => val (w, h) = bmff.trakDims(b, e); w > 0 && h > 0 }
+      .map { case (_, b, e) => (b, e) }.getOrElse(bmff.bad("no video trak"))
+    val (sb, se) = bmff.firstPath(tb, te, List("mdia", "minf", "stbl"))
+      .getOrElse(bmff.bad("no stbl"))
+    val stbl = bmff.boxes(sb, se)
+    def full(name: String): (Int, Int) = stbl.find(_._1 == name)
+      .map { case (_, b, e) => (b, e) }.getOrElse(bmff.bad(s"no $name"))
+    val codec = bmff.stsdCodec(sb, se)
+    // stsz (§8.7.3.2): fixed sample_size, or 0 → per-sample size table
+    val (zb, _) = full("stsz")
+    val fixedSize = bmff.u32(zb + 4)
+    val nSamples = bmff.u32(zb + 8).toInt
+    if (nSamples <= 0) bmff.bad("empty stsz")
+    val sampleSize: Int => Int =
+      if (fixedSize != 0L) _ => fixedSize.toInt
+      else i => bmff.u32(zb + 12 + 4 * i).toInt
+    // chunk offsets (§8.7.5): stco 32-bit or co64 64-bit, absolute
+    val chunkOffsets: Vector[Long] = stbl.find(_._1 == "stco") match {
+      case Some((_, b, _)) =>
+        Vector.tabulate(bmff.u32(b + 4).toInt)(i => bmff.u32(b + 8 + 4 * i))
+      case None =>
+        val (b, _) = full("co64")
+        Vector.tabulate(bmff.u32(b + 4).toInt)(i => bmff.u64(b + 8 + 8 * i))
+    }
+    if (chunkOffsets.isEmpty) bmff.bad("empty chunk offset table")
+    // stsc (§8.7.4): run-length (first_chunk, samples_per_chunk) entries
+    val (cb, _) = full("stsc")
+    val nRuns = bmff.u32(cb + 4).toInt
+    if (nRuns <= 0) bmff.bad("empty stsc")
+    val runs = Vector.tabulate(nRuns)(i =>
+      (bmff.u32(cb + 8 + 12 * i).toInt, bmff.u32(cb + 12 + 12 * i).toInt))
+    // expand chunk by chunk: samples are contiguous within a chunk
+    val out = Vector.newBuilder[(Int, Int)]
+    var sample = 0
+    var chunk = 1
+    while (sample < nSamples && chunk <= chunkOffsets.size) {
+      val perChunk = runs.takeWhile(_._1 <= chunk).lastOption
+        .map(_._2).getOrElse(bmff.bad(s"stsc covers no chunk $chunk"))
+      var off = chunkOffsets(chunk - 1)
+      var i = 0
+      while (i < perChunk && sample < nSamples) {
+        val len = sampleSize(sample)
+        if (len <= 0 || off + len > payload.length) bmff.bad(s"sample $sample out of bounds")
+        out += ((off.toInt, len))
+        off += len
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) bmff.bad(s"sample tables cover $sample of $nSamples samples")
+    (codec, out.result())
   }
 
   /** mp4 metadata extraction over binary payloads — one box walk per
@@ -578,6 +679,44 @@ object Media {
         try {
           val (ms, ts, n, w, h, codec) = parseMp4Meta(r.payload)
           Iterator.single(Mp4Meta(r.doc_id, ms, ts, n, w, h, codec))
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** REAL frame decode for mp4 tracks whose samples are self-contained
+    * images (`jpeg`-fourcc MJPEG-in-mp4): [[parseMp4Samples]] demuxes each
+    * frame's byte range from the `stbl` sample tables and every
+    * `frameStride`-th one decodes through the same imageio path as AVI
+    * frames ([[extractVideoFrames]]'s shape — map-side fan-out bounded by
+    * samples/stride, no shuffle, one box walk per payload per partition).
+    * Inter-frame codecs (avc1/hvc1/vp09/av01) demux fine but their sample
+    * BYTES need an external decoder, so they throw with the codec named;
+    * `lenient` drops them along with malformed containers.
+    */
+  def extractMp4Frames(rows: Dataset[MediaRow], spark: SparkSession,
+      frameStride: Int = 1, lenient: Boolean = false): Dataset[FrameFeatures] = {
+    require(frameStride > 0, "frameStride must be positive")
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val (codec, samples) = parseMp4Samples(r.payload)
+          // eager map: a mid-payload undecodable sample must throw INSIDE
+          // this try so lenient mode can drop the container whole
+          samples.indices.by(frameStride).map { i =>
+            val (w, h, rgb) =
+              try decodeFrame(r.payload, samples(i))
+              catch {
+                case e: IllegalArgumentException => throw new IllegalArgumentException(
+                  s"mp4 '$codec' sample $i needs an external codec", e)
+              }
+            FrameFeatures(r.doc_id, i, w, h,
+              Array(rgb(0), rgb(1), rgb(2),
+                0.299f * rgb(0) + 0.587f * rgb(1) + 0.114f * rgb(2)))
+          }.iterator
         } catch {
           case _: Exception if lenient => Iterator.empty
         }
@@ -652,6 +791,106 @@ object Media {
         val bytes = out.toByteArray
         MediaRow(id, "video/mp4",
           if (id % 11 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
+
+  /** Deterministic REAL JPEG-track mp4s derived purely from doc ids:
+    * `ftyp` + `mdat` holding `1 + id % 5` solid-color frames + a `moov`
+    * whose single video trak carries REAL sample tables — per-sample
+    * `stsz` sizes, 2-samples-per-chunk `stsc` runs (odd frame counts
+    * leave a 1-sample tail chunk, exercising the run-length encoding),
+    * and absolute chunk offsets as 32-bit `stco` (even ids) or 64-bit
+    * `co64` (odd ids); mvhd/tkhd alternate full-box version 0/1 by id
+    * parity like [[syntheticMp4s]]. The stsd fourcc is `jpeg`; frame f is
+    * `(1 + id % 8) × (1 + id % 6)` with RGB channels
+    * `((id + 11f) % 256, (7id + 5f) % 256, (13id + 3f) % 256)` —
+    * per-frame colors prove the walk reads each sample's exact byte
+    * range, and PNG-encoded frames keep the fixture LOSSLESS (imageio
+    * sniffs sample content, the m6/m7 pattern; real JPEG samples take
+    * the identical path — MediaSpec covers one). Every 13th payload
+    * truncates to 8 bytes for the `lenient` drop path.
+    */
+  def syntheticJpegMp4s(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val v = (id % 2).toInt // full-box version for mvhd/tkhd
+        val nFrames = (1 + id % 5).toInt
+        val (w, h) = (16 * (1 + id % 8).toInt, 16 * (1 + id % 6).toInt)
+        val frames = Vector.tabulate(nFrames) { f =>
+          val rgb = ((((id + 11 * f) % 256) << 16) |
+            (((id * 7 + 5 * f) % 256) << 8) | ((id * 13 + 3 * f) % 256)).toInt
+          solidPng((1 + id % 8).toInt, (1 + id % 6).toInt, rgb)
+        }
+        def box(typ: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(b)
+          d.writeInt(8 + body.length); d.write(typ.getBytes("US-ASCII")); d.write(body)
+          b.toByteArray
+        }
+        def fullBox(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+          box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ body)
+        def be32(x: Long): Array[Byte] =
+          Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+            ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+        def be64(x: Long): Array[Byte] = be32(x >> 32) ++ be32(x & 0xffffffffL)
+
+        // layout: ftyp (20 B) + mdat header (8 B) + concatenated frames,
+        // chunked 2 samples per chunk → absolute chunk offsets
+        val mdatBody = 20 + 8
+        val sampleOffsets = frames.scanLeft(mdatBody.toLong)(_ + _.length)
+        val nChunks = (nFrames + 1) / 2
+        val chunkOffsets = Vector.tabulate(nChunks)(c => sampleOffsets(2 * c))
+
+        val timescale = 600
+        val duration = 100L * nFrames
+        val mvhd = fullBox("mvhd", v,
+          (if (v == 1) be64(0) ++ be64(0) ++ be32(timescale.toLong) ++ be64(duration)
+           else be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration)) ++
+            be32(0x00010000) ++ Array.fill[Byte](2 + 10 + 36 + 24)(0) ++ be32(2L))
+        val tkhd = fullBox("tkhd", v,
+          (if (v == 1) be64(0) ++ be64(0) ++ be32(1L) ++ be32(0) ++ be64(duration)
+           else be32(0) ++ be32(0) ++ be32(1L) ++ be32(0) ++ be32(duration)) ++
+            Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+            be32(w.toLong << 16) ++ be32(h.toLong << 16))
+        val mdhd = fullBox("mdhd", 0,
+          be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration) ++
+            Array[Byte](0, 0, 0, 0))
+        val stsd = fullBox("stsd", 0,
+          be32(1) ++ box("jpeg", Array.fill[Byte](8)(0)))
+        val stsz = fullBox("stsz", 0,
+          be32(0) ++ be32(nFrames.toLong) ++
+            frames.map(fr => be32(fr.length.toLong)).foldLeft(Array.empty[Byte])(_ ++ _))
+        // runs: (1, 2) and, when the frame count is odd, a (last, 1) tail
+        val stscRuns =
+          if (nFrames == 1) Vector((1L, 1L))
+          else if (nFrames % 2 == 0) Vector((1L, 2L))
+          else Vector((1L, 2L), (nChunks.toLong, 1L))
+        val stsc = fullBox("stsc", 0,
+          be32(stscRuns.size.toLong) ++ stscRuns
+            .map { case (first, per) => be32(first) ++ be32(per) ++ be32(1L) }
+            .foldLeft(Array.empty[Byte])(_ ++ _))
+        val chunkBox =
+          if (id % 2 == 0)
+            fullBox("stco", 0, be32(nChunks.toLong) ++
+              chunkOffsets.map(be32).foldLeft(Array.empty[Byte])(_ ++ _))
+          else
+            fullBox("co64", 0, be32(nChunks.toLong) ++
+              chunkOffsets.map(be64).foldLeft(Array.empty[Byte])(_ ++ _))
+        val stbl = box("stbl", stsd ++ stsz ++ stsc ++ chunkBox)
+        val mdia = box("mdia", mdhd ++ box("minf", stbl))
+        val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+
+        val out = new java.io.ByteArrayOutputStream()
+        val bb = new java.io.DataOutputStream(out)
+        def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+        bb.writeInt(20); cc("ftyp"); cc("isom"); bb.writeInt(0x200); cc("isom")
+        bb.write(box("mdat", frames.foldLeft(Array.empty[Byte])(_ ++ _)))
+        bb.write(moov)
+        val bytes = out.toByteArray
+        MediaRow(id, "video/mp4",
+          if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
       }
     }
   }

@@ -244,6 +244,42 @@ object MultimodalQueries {
     graft.multimodal.Media.extractMp4Meta(rows, s, lenient = true).toDF()
   }
 
+  /** REAL mp4 DEMUX + frame decode inside the driver-checked surface:
+    * deterministic JPEG-track mp4s generated from doc ids
+    * (Media.syntheticJpegMp4s — ftyp + mdat + moov whose video trak
+    * carries real stsz/stsc/stco|co64 sample tables, 2 samples per chunk
+    * with an odd-count tail chunk, 32-bit stco on even ids and 64-bit
+    * co64 on odd), every 13th payload truncated/corrupt, demuxed and
+    * decoded per-partition by Media.extractMp4Frames (sample-table walk →
+    * per-frame byte range → imageio) at stride 2 in `lenient` mode (the
+    * oracle's `doc_id % 13 <> 0` asserts exactly that drop set). Frame f
+    * has per-frame planted channels `((id + 11f) % 256, (7id + 5f) % 256,
+    * (13id + 3f) % 256)` — DIFFERENT per sample, so a misread byte range
+    * (wrong chunk offset, wrong size cursor, swapped run) decodes the
+    * wrong color and hash-fails; the sampled frame numbers are the
+    * arithmetic sequence 0, 2, … below `1 + id % 5`, replayed by
+    * generate_series.
+    */
+  val mp4Frames: Q = Q(
+    "m9_mp4_frames",
+    """SELECT doc_id,
+      |  CAST(f AS INT) AS frame_no,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST((doc_id + 11 * f) % 256 AS INT) AS mean_r,
+      |  CAST((doc_id * 7 + 5 * f) % 256 AS INT) AS mean_g,
+      |  CAST((doc_id * 13 + 3 * f) % 256 AS INT) AS mean_b
+      |FROM documents, unnest(range(0, 1 + doc_id % 5, 2)) AS t(f)
+      |WHERE doc_id % 13 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticJpegMp4s(t(s, dir, "documents"), s)
+    graft.multimodal.Media.extractMp4Frames(rows, s, frameStride = 2, lenient = true)
+      .toDF()
+      .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+        round(element_at(col("feature"), 1).cast("double") * 255).cast("int").as("mean_r"),
+        round(element_at(col("feature"), 2).cast("double") * 255).cast("int").as("mean_g"),
+        round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
-    audioFeatures, videoFeatures, frameFeatures, mp4Meta)
+    audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames)
 }

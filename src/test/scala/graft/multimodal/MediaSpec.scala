@@ -332,6 +332,107 @@ class MediaSpec extends SparkSpec {
       Media.parseMp4Meta(sample.take(40)) // truncated mid-moov
   }
 
+  "parseMp4Samples" should "demux exact per-sample byte ranges from the stbl tables" in {
+    val rows = Media.syntheticJpegMp4s(docs, spark).collect()
+    // even ids exercise 32-bit stco, odd ids 64-bit co64 — check both
+    rows.filter(r => r.doc_id % 13 != 0).take(10).foreach { r =>
+      val id = r.doc_id
+      val (codec, samples) = Media.parseMp4Samples(r.payload)
+      codec shouldBe "jpeg"
+      samples.size shouldBe (1 + id % 5).toInt
+      // ranges are contiguous from the mdat body and each slice is a
+      // whole PNG (signature at start, IEND at end)
+      samples.head._1 shouldBe 28
+      samples.sliding(2).foreach {
+        case Seq((o1, l1), (o2, _)) => o2 shouldBe o1 + l1
+        case _ =>
+      }
+      samples.foreach { case (off, len) =>
+        r.payload.slice(off, off + 4).toSeq shouldBe
+          Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+        new String(r.payload.slice(off + len - 8, off + len - 4), "US-ASCII") shouldBe "IEND"
+      }
+    }
+  }
+
+  it should "support fixed-size stsz entries and reject covering gaps" in {
+    // hand-built minimal mp4: 3 identical fixed-size samples, one chunk
+    def be32(x: Long) = Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]) =
+      be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    def fullBox(typ: String, body: Array[Byte]) =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ body)
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, 0x204060)))
+    val png = { val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray }
+    val ftyp = be32(20) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++ "isom".getBytes("US-ASCII")
+    val mdat = box("mdat", png ++ png ++ png)
+    val tkhd = fullBox("tkhd", be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(0) ++
+      Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++ be32(3L << 16) ++ be32(2L << 16))
+    val stbl = box("stbl",
+      fullBox("stsd", be32(1) ++ box("jpeg", Array.fill[Byte](8)(0))) ++
+        fullBox("stsz", be32(png.length.toLong) ++ be32(3)) ++ // fixed size, no table
+        fullBox("stsc", be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
+        fullBox("stco", be32(1) ++ be32(ftyp.length + 8L)))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", stbl)))
+    val mp4 = ftyp ++ mdat ++ box("moov", trak)
+    val (codec, samples) = Media.parseMp4Samples(mp4)
+    codec shouldBe "jpeg"
+    samples shouldBe Vector((ftyp.length + 8, png.length),
+      (ftyp.length + 8 + png.length, png.length),
+      (ftyp.length + 8 + 2 * png.length, png.length))
+    // stsc that starts covering at chunk 2 leaves chunk 1 uncovered
+    val badStbl = box("stbl",
+      fullBox("stsd", be32(1) ++ box("jpeg", Array.fill[Byte](8)(0))) ++
+        fullBox("stsz", be32(png.length.toLong) ++ be32(3)) ++
+        fullBox("stsc", be32(1) ++ be32(2) ++ be32(3) ++ be32(1)) ++
+        fullBox("stco", be32(1) ++ be32(ftyp.length + 8L)))
+    val badMp4 = ftyp ++ mdat ++ box("moov",
+      box("trak", tkhd ++ box("mdia", box("minf", badStbl))))
+    an[IllegalArgumentException] should be thrownBy Media.parseMp4Samples(badMp4)
+    // m8's fixtures carry no sample tables at all — the walk names the gap
+    val noTables = Media.syntheticMp4s(docs.filter(col("doc_id") === 1), spark)
+      .collect().head.payload
+    the[IllegalArgumentException] thrownBy
+      Media.parseMp4Samples(noTables) should have message
+      s"payload is not a parseable mp4 (no stsz, ${noTables.length} bytes)"
+  }
+
+  "extractMp4Frames" should "decode sampled JPEG-track frames and drop corrupt containers" in {
+    val rows = Media.syntheticJpegMp4s(docs, spark).repartition(3)
+    val frames = Media.extractMp4Frames(rows, spark, frameStride = 2,
+      lenient = true).cache()
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    // every 13th payload is truncated — lenient drops exactly those
+    byDoc.keySet shouldBe docs.select("doc_id").as[Long].collect()
+      .filter(_ % 13 != 0).toSet
+    byDoc.foreach { case (id, fs) =>
+      val nFrames = (1 + id % 5).toInt
+      fs.map(_.frame_no).sorted.toSeq shouldBe (0 until nFrames by 2)
+      fs.foreach { f =>
+        f.width shouldBe (1 + id % 8).toInt
+        f.height shouldBe (1 + id % 6).toInt
+        // per-frame planted colors: a misread byte range decodes wrong
+        math.round(f.feature(0) * 255) shouldBe ((id + 11 * f.frame_no) % 256).toInt
+        math.round(f.feature(1) * 255) shouldBe ((id * 7 + 5 * f.frame_no) % 256).toInt
+        math.round(f.feature(2) * 255) shouldBe ((id * 13 + 3 * f.frame_no) % 256).toInt
+      }
+    }
+    // stride 1 yields every frame
+    Media.extractMp4Frames(rows, spark, lenient = true).count() shouldBe
+      byDoc.keySet.toSeq.map(id => 1 + id % 5).sum
+    // inter-frame-codec fixtures (avc1…, no sample tables) throw without
+    // lenient and drop with it
+    val avc = Media.syntheticMp4s(docs, spark)
+    an[Exception] should be thrownBy
+      Media.extractMp4Frames(avc, spark).collect()
+    Media.extractMp4Frames(avc, spark, lenient = true).count() shouldBe 0
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
