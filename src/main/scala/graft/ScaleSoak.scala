@@ -200,12 +200,16 @@ object ScaleSoak {
     // corpus-scale band join can never take (and whose driver
     // materialization cost swamps the thing being measured)
     def noBroadcast(f: => Long): Long = {
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      try f finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      // capture each key's own prior state and restore EXACTLY it —
+      // unset keys go back to unset (so Spark's built-in defaults keep
+      // governing later stages), not to a literal fallback value
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, "-1"))
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     timed("lsh_pairs_carry") {

@@ -87,7 +87,22 @@ object StreamSoak {
     var tBatch = System.nanoTime()
     val writer = CorpusStream.admissionWriter(stream, initialSigs, minSim = 0.8,
       out => {
-        val admitted = out.admitted.count()
+        // one pass over admitted gets the count AND the batch's id window.
+        // The flagged ≈ batch_docs/50 pass criterion assumes the source
+        // delivers b0000..bNNNN in order (mtime with path tiebreak — the
+        // zero-padded names make it deterministic, but nothing upstream
+        // enforces it), so assert batch b actually carries batch b's ids:
+        // block leaders (id ≡ 0, 49 mod 50) are always admitted, making
+        // admitted's min/max the window edges
+        val row = out.admitted.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+        val admitted = row.getLong(0)
+        val expectFrom = initial + out.batchId * batchDocs
+        require(row.getLong(1) == expectFrom &&
+          row.getLong(2) == expectFrom + batchDocs - 1,
+          s"batch ${out.batchId} delivered out of order: ids " +
+            s"[${row.getLong(1)}, ${row.getLong(2)}], expected " +
+            s"[$expectFrom, ${expectFrom + batchDocs - 1}] — per-batch flagged " +
+            "accounting is invalid for this run")
         val flagged = out.flagged.count()
         obs :+= Obs(out.batchId, (System.nanoTime() - tBatch) / 1e9, admitted, flagged,
           spark.sparkContext.getPersistentRDDs.size)

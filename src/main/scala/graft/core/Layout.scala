@@ -40,8 +40,9 @@ object Layout {
 
   /** Attach a Z-order key over two numeric columns: each value is
     * min-max-normalized to [0, 2^bits) with bounds from a one-row
-    * aggregate joined back in-plan (AQE broadcasts it; nothing touches
-    * the driver), then bit-interleaved. Constant columns normalize to 0.
+    * aggregate joined back in-plan with an explicit broadcast hint
+    * (nothing touches the driver), then bit-interleaved. Constant
+    * columns normalize to 0.
     */
   def zorderKey(df: DataFrame, colA: String, colB: String,
       bits: Int = 16, keyCol: String = "zkey"): DataFrame = {
@@ -54,7 +55,7 @@ object Layout {
     def norm(c: String, lo: Column, hi: Column): Column =
       floor((col(c).cast("double") - lo) * scale /
         greatest(hi - lo, lit(1e-300))).cast("long")
-    df.crossJoin(bounds)
+    df.crossJoin(broadcast(bounds))
       .withColumn(keyCol,
         interleaveBits(
           norm(colA, col("__mina"), col("__maxa")),
@@ -90,7 +91,7 @@ object Layout {
         max(col(valueCol).cast("double")).as("hi"))
     val global = perFile.agg(
       min(col("lo")).as("glo"), max(col("hi")).as("ghi"))
-    perFile.crossJoin(global)
+    perFile.crossJoin(broadcast(global))
       .select(col("__file").as("file"),
         ((col("hi") - col("lo")) /
           greatest(col("ghi") - col("glo"), lit(1e-300))).as("range_fraction"))

@@ -908,6 +908,39 @@ object TextQueries {
     graft.text.TextSearch.tfidfTopTerms(t(s, dir, "documents"), k = 3)
   }
 
+  /** The capped tf-idf path (TextSearch.tfidfTopTerms with maxDfRatio) —
+    * the shipped fix for the measured 10M hot-term straggler, here
+    * driver-checked cross-engine rather than only output-compared
+    * in-suite: the oracle applies the SAME relational df filter
+    * (df <= 0.75·N before the scoring join). At sf0.01 the synthetic
+    * vocabulary makes the cap bite hard — 29 of 31 terms are corpus-hot,
+    * so most docs keep fewer than k surviving terms and LOSE rows, which
+    * is exactly the documented cap-semantics edge (see the maxDfRatio
+    * scaladoc): both engines must agree on the reduced row set, not just
+    * on reordered scores.
+    */
+  val tfidfCapped: Q = Q(
+    "x30_tfidf_capped",
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |dfk AS (SELECT term, df FROM dfx CROSS JOIN n WHERE df <= n_docs * 0.75)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rnk AS INT) AS rank
+      |FROM (
+      |  SELECT doc_id, term, tf,
+      |    CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) DESC, term) AS rnk
+      |  FROM tf JOIN dfk USING (term) CROSS JOIN n)
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    graft.text.TextSearch.tfidfTopTerms(t(s, dir, "documents"), k = 3,
+      maxDfRatio = Some(0.75))
+  }
+
   /** Source-mixture rebalancing (Sampling.mixtureSample): keep each
     * listed source at rate `min(1, weight·budget / source_chars)` by
     * 16-bit id-hash bucket — rates DERIVED in-plan from the observed
@@ -1318,6 +1351,7 @@ object TextQueries {
     textKeys, stemmedKeys, sentenceSplit, sentenceDedup, hashSplit, stratifiedSample,
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
+    tfidfCapped,
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats)

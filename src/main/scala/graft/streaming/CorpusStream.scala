@@ -43,6 +43,15 @@ object CorpusStream {
     * `initialSigs` is the standing corpus signature index
     * (Dedup.minhashSignatures output). `sink` receives each batch's
     * admitted and flagged documents.
+    *
+    * Sink contract: consume (write/count/collect) `admitted` and
+    * `flagged` WITHIN the callback. foreachBatch semantics already scope
+    * a batch's validity to its invocation, and here the failure mode is
+    * hard, not stale: both frames read checkpoint blocks that this
+    * writer unpersists right after `sink` returns (the index-fold
+    * storage bound), and localCheckpoint leaves no lineage to recompute
+    * them from — a retained frame evaluated later fails with a missing
+    * checkpoint block, it does not silently reread old state.
     */
   def admissionWriter(docs: DataFrame, initialSigs: DataFrame,
       minSim: Double, sink: BatchAdmissions => Unit): DataStreamWriter[Row] = {

@@ -169,6 +169,15 @@ object TextSearch {
     * stopwords made one task run 16× the median with 2.5 GB of sort
     * spill — SCALE.md). None preserves exact unfiltered semantics (the
     * x18 oracle shape).
+    *
+    * Output-identity caveat: capped output equals uncapped output only
+    * for documents with at least `k` sub-threshold terms. A document
+    * whose vocabulary is mostly corpus-hot terms keeps fewer than `k`
+    * rows — or none, when every one of its terms is over the threshold
+    * (the hot term would have filled the slot in the uncapped ranking).
+    * That row loss is deliberate cap semantics, driver-checked
+    * cross-engine by x30_tfidf_capped (whose fixture hits exactly this
+    * edge); pick `maxDfRatio` above the df of any term you need ranked.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
       maxDfRatio: Option[Double] = None): DataFrame = {
