@@ -733,24 +733,48 @@ object TextQueries {
 
   /** Stemmed LT/TT keys over the document corpus — exercises the native
     * porter_stem Catalyst expression (graft.text.StemArrayExpression) in
-    * the bench path. Rows-only: no independent stemmer oracle exists in
-    * this environment — DuckDB's `stem(word, 'porter')` lives in the
-    * `fts` extension, which is not bundled and cannot auto-install
-    * without network egress (verified: `LOAD fts` fails offline), and no
-    * Python stemmer package (nltk / snowballstemmer / PyStemmer) is
-    * installed either. The algorithm itself is locked in-repo instead:
-    * PorterStemmerSpec pins the canonical sample vocabulary from the
-    * published Porter (1980) description across all five steps, and
-    * StemExpressionSpec pins codegen/interpreted kernel parity. (Were an
-    * oracle available it would be Snowball's "porter" variant, which
-    * intentionally diverges from Porter 1980 on a known word list, so a
-    * divergence spec would still be required rather than a raw hash.)
+    * the bench path. No machine stemmer oracle exists offline (DuckDB's
+    * `stem()` needs the non-bundled fts extension; no Python stemmer
+    * package is installed), but none is needed: the synthetic corpus
+    * draws from a CLOSED 31-word vocabulary (verified identical at
+    * sf0.001/0.01/0.1, all lowercase alpha), so the oracle inlines the
+    * Porter (1980) stem of each word, derived BY HAND from the published
+    * algorithm — independent of the implementation under test:
+    * customer→custom (step 4 ER, m=2), key→kei and query→queri (step
+    * 1c), merge→merg / table→tabl / value→valu (step 5a, m=1 and not
+    * *o), line→line (step 5a blocked, "lin" ends cvc), filter/order keep
+    * ER (m=1), the rest carry no suffix. Any token outside the closed
+    * set maps to a '!' sentinel so a vocabulary drift breaks the hash
+    * loudly instead of silently passing. The full-step algorithm stays
+    * locked by PorterStemmerSpec (published-paper vocabulary) +
+    * StemExpressionSpec kernel parity; this oracle pins the pipeline
+    * (tokenize → case-sensitive stopword drop → normalize → stem →
+    * dedup-sort LT / ordered TT) cross-engine.
     */
-  val stemmedKeys: Q = Q.rowsOnly("t2_stemmed_keys") { (s, dir) =>
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      graft.text.TextNormalize.ltKey(col("text")).as("lt_key"),
-      graft.text.TextNormalize.ttKey(col("text")).as("tt_key"))
+  val stemmedKeys: Q = {
+    val stem = Map("customer" -> "custom", "key" -> "kei", "merge" -> "merg",
+      "query" -> "queri", "table" -> "tabl", "value" -> "valu")
+    val identity = Seq("agg", "batch", "big", "column", "data", "dup", "fast",
+      "filter", "group", "hash", "join", "line", "order", "part", "row",
+      "scan", "slow", "small", "sort", "spark", "stream", "vector", "window")
+    val cases = (stem.toSeq ++ identity.map(w => w -> w)).sortBy(_._1)
+      .map { case (w, st) => s"WHEN '$w' THEN '$st'" }.mkString(" ")
+    Q(
+      "t2_stemmed_keys",
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_sort(list_distinct(list_transform(
+         |    list_filter(ws, t -> t NOT IN ('a', 'the')),
+         |    t -> CASE t $cases ELSE '!' END))), '') AS lt_key,
+         |  array_to_string(ws, '') AS tt_key
+         |FROM toks""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextNormalize.ltKey(col("text")).as("lt_key"),
+        graft.text.TextNormalize.ttKey(col("text")).as("tt_key"))
+    }
   }
 
   /** Sequence packing (Sampling.sequencePacks): docs in id order fill
