@@ -1367,6 +1367,79 @@ object TextQueries {
       minShared = 2, maxFpDf = 100)
   }
 
+  /** Corpus-trained bigram-LM cross-entropy per document
+    * (LangModel.crossEntropy) — the CCNet perplexity-filter signal,
+    * with the KenLM replaced by an interpolated bigram model trained
+    * relationally on the corpus itself. The oracle replays the exact
+    * model: unigram/bigram counts, lambda-interpolated probability,
+    * first token scored by the unigram term, -avg(log2 p) rounded to
+    * 6 dp.
+    */
+  val ngramPerplexity: Q = Q(
+    "x31_ngram_perplexity",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+      |tok AS (
+      |  SELECT doc_id, w1 AS word FROM bg
+      |  UNION ALL SELECT doc_id, w[len(w)] AS word FROM w),
+      |uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS c1 FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(c1) AS t FROM uni),
+      |bic AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+      |lp AS (
+      |  SELECT f.doc_id, log2(u.c1 / tot.t) AS logp
+      |  FROM (SELECT doc_id, w[1] AS word FROM w) f
+      |  JOIN uni u USING (word), tot
+      |  UNION ALL
+      |  SELECT b.doc_id,
+      |    log2(0.7 * bc.c2 / up.c1 + 0.3 * uc.c1 / tot.t) AS logp
+      |  FROM bg b
+      |  JOIN bic bc USING (w1, w2)
+      |  JOIN uni up ON up.word = b.w1
+      |  JOIN uni uc ON uc.word = b.w2, tot)
+      |SELECT doc_id, count(*) AS n_tokens, round(-avg(logp), 6) AS h_bits
+      |FROM lp GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.text.LangModel.crossEntropy(t(s, dir, "documents"))
+  }
+
+  /** DSIR importance log-weights (LangModel.dsirLogWeights): hashed
+    * word-bigram likelihood ratio of a target-domain subset (here the
+    * deterministic doc_id % 7 exemplars) against the raw corpus, add-1
+    * smoothed over 256 buckets. The oracle replays the md5-nibble
+    * bucket (the x6 arithmetic on the bigram string), both
+    * distributions, and the per-doc summed log2 ratio.
+    */
+  val dsirWeights: Q = {
+    def nib(k: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(g), ${k + 1}, 1)) - 1)"
+    Q(
+      "x32_dsir_weights",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |f AS (
+         |  SELECT doc_id, doc_id % 7 = 0 AS is_t,
+         |    ((${nib(0)} * 4096 + ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 256) AS b
+         |  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w))),
+         |c AS (
+         |  SELECT b, CAST(count(*) AS DOUBLE) AS cr,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
+         |r AS (
+         |  SELECT b, log2((ct + 1) / (nt + 256)) - log2((cr + 1) / (nr + 256)) AS lr
+         |  FROM c, tot)
+         |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_w
+         |FROM f JOIN r USING (b) GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.text.LangModel.dsirLogWeights(
+        t(s, dir, "documents"), col("doc_id") % 7 === 0)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, dedupClusters, embeddingNearDups,
@@ -1378,5 +1451,6 @@ object TextQueries {
     tfidfCapped,
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
-    gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats)
+    gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
+    ngramPerplexity, dsirWeights)
 }
