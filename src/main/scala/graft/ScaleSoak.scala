@@ -98,10 +98,26 @@ object ScaleSoak {
     val vecs = sys.env.getOrElse("GRAFT_SOAK_VECS", docs.toString).toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString).toInt
-    val spark = Sessions.builder("graft-scale-soak", Some(s"local[$cpus]"), cpus)
+    // GRAFT_SOAK_MASTER: point the soak at a real cluster manager
+    // (e.g. spark://host:7077 standalone) instead of local[cpus] — the
+    // multi-executor validation path. Executor sizing rides the usual
+    // spark.executor.* system properties / spark-defaults; the
+    // application jar must be on spark.jars so executors can load it.
+    val master = sys.env.getOrElse("GRAFT_SOAK_MASTER", s"local[$cpus]")
+    val spark = Sessions.builder("graft-scale-soak", Some(master), cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_SOAK_SHUFFLE_PARTITIONS: override the bench-sized default
+    // (= cores). The clean_corpus 10M probe measured why this matters:
+    // window/sort partition COUNT is fixed at this setting (AQE splits
+    // skewed joins, never window sorts), so at 10M docs a 32-partition
+    // shingle-window sort runs ~10M-row single-threaded sorts that
+    // outgrow memory and spill — wall goes superlinear while shuffle
+    // bytes stay linear. A real cluster sizes this with executors;
+    // the soak must be able to do the same.
+    sys.env.get("GRAFT_SOAK_SHUFFLE_PARTITIONS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
 
     // cumulative shuffle/spill across all Spark stages; snapshot deltas
     // bracket each logical soak stage
