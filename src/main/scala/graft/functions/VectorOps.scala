@@ -30,6 +30,13 @@ object VectorOps {
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(sumSq(a))
 
+  /** Euclidean distance, left fold over zipped squared differences
+    * (DuckDB's list_distance computes the same value, so argmin
+    * comparisons replay cross-engine).
+    */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
   /** Cosine similarity with the reference's zero-denominator guard
     * (reference spark/Helpers.scala:86–88 returns 0 when either norm is 0).
     */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 import graft.functions.VectorOps
 import graft.queries.Q.{decSum, t}
 
@@ -312,6 +312,158 @@ object VectorQueries {
     }
   }
 
+  /** Shared oracle CTE chain for product quantization (Pq.codebooks →
+    * Pq.encode): subvector projection, per-subspace seeds from the k
+    * smallest vec_ids, one Lloyd round with L2-argmin assignment
+    * ((dist asc, cell asc) tie-break) and exact-decimal centroid means,
+    * then the final code assignment — the same arithmetic the Spark
+    * side executes, spelled out relationally.
+    */
+  private def pqSql(m: Int, sd: Int, k: Int): String = {
+    def assignSql(booksRel: String): String =
+      s"""SELECT vec_id, sub, se, cell FROM (
+         |    SELECT s.vec_id, s.sub, s.se, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY list_distance(s.se, c.ce) ASC, c.cell) AS rn
+         |    FROM subs s JOIN $booksRel c USING (sub)) WHERE rn = 1""".stripMargin
+    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, CAST(sub AS INT) AS sub,
+       |    list_slice(e, sub * $sd + 1, sub * $sd + $sd) AS se
+       |  FROM (SELECT vec_id, e, unnest(range(0, $m)) AS sub FROM raw)),
+       |seeds AS (
+       |  SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS cell,
+       |    se AS ce
+       |  FROM subs WHERE vec_id IN (SELECT vec_id FROM raw ORDER BY vec_id LIMIT $k)),
+       |assign1 AS (${assignSql("seeds")}),
+       |comps AS (
+       |  SELECT sub, cell, dim,
+       |    CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid
+       |  FROM (SELECT sub, cell, generate_subscripts(se, 1) AS dim, unnest(se) AS v
+       |        FROM assign1)
+       |  GROUP BY sub, cell, dim),
+       |books AS (SELECT sub, cell, list(centroid ORDER BY dim) AS ce
+       |          FROM comps GROUP BY sub, cell),
+       |codes AS (SELECT vec_id, sub, cell AS code FROM (${assignSql("books")}))""".stripMargin
+  }
+
+  /** PQ codes (Pq.codebooks + Pq.encode, m=4 subspaces × k=16 cells over
+    * dim 64, one Lloyd round): 64 floats → 4 small ints per vector. The
+    * oracle replays the whole chain; determinism rides the kmeansCells
+    * discipline (smallest-vec_id seeds, L2 argmin with total tie-break,
+    * exact-decimal means).
+    */
+  val pqCodes: Q = {
+    val (dim, m, k) = (64, 4, 16)
+    Q(
+      "v10_pq_codes",
+      s"""WITH ${pqSql(m, dim / m, k)}
+         |SELECT vec_id, sub, code FROM codes""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Pq.encode(e, Pq.codebooks(e, dim, m, k, iters = 1), dim, m)
+    }
+  }
+
+  /** ADC top-k (Pq.adcTopK): cosine approximated entirely from PQ codes
+    * and a per-query LUT of query×centroid partial products — <q, v̂> =
+    * Σ_j ip[sub, code_j], ‖v̂‖² = Σ_j csq[sub, code_j]. The corpus scan
+    * touches only the code stream (the PQ bandwidth win); the oracle
+    * replays codebooks, codes, LUT, and the summed scores.
+    */
+  val pqAdcTopK: Q = {
+    val (dim, m, k) = (64, 4, 16)
+    Q(
+      "v11_pq_adc_topk",
+      s"""WITH ${pqSql(m, dim / m, k)},
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM raw WHERE vec_id < 5),
+         |qsubs AS (
+         |  SELECT query_id, CAST(sub AS INT) AS sub,
+         |    list_slice(qe, sub * ${dim / m} + 1, sub * ${dim / m} + ${dim / m}) AS qs
+         |  FROM (SELECT query_id, qe, unnest(range(0, $m)) AS sub FROM q)),
+         |lut AS (
+         |  SELECT query_id, sub, cell AS code,
+         |    list_dot_product(qs, ce) AS ip, list_dot_product(ce, ce) AS csq
+         |  FROM qsubs JOIN books USING (sub)),
+         |scored AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    sum(ip) AS aip, sqrt(sum(csq)) AS vn
+         |  FROM codes JOIN lut USING (sub, code)
+         |  GROUP BY query_id, vec_id),
+         |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qn FROM q)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      CASE WHEN q.qn * s.vn = 0 THEN 0.0 ELSE s.aip / (q.qn * s.vn) END AS sim
+         |    FROM scored s JOIN qn q USING (query_id)
+         |    WHERE s.query_id <> s.neighbor_id))
+         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Pq.adcTopK(e, e.filter(col("vec_id") < 5), dim, m, k, topK = 3, iters = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }
+  }
+
+  /** Two-stage PQ retrieval (Pq.adcRerankTopK): ADC top-`coarseK` from
+    * codes alone, then exact cosine rerank of ONLY those candidates —
+    * the compressed-index search shape a 100 TB corpus actually runs
+    * (coarse pass reads m codes/vector, exact join touches
+    * |queries|·coarseK rows). The oracle replays the full chain:
+    * codebooks → codes → LUT → ADC coarse set → exact rerank.
+    */
+  val pqRerank: Q = {
+    val (dim, m, k, coarseK) = (64, 4, 16, 32)
+    Q(
+      "v12_pq_rerank",
+      s"""WITH ${pqSql(m, dim / m, k)},
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM raw WHERE vec_id < 5),
+         |qsubs AS (
+         |  SELECT query_id, CAST(sub AS INT) AS sub,
+         |    list_slice(qe, sub * ${dim / m} + 1, sub * ${dim / m} + ${dim / m}) AS qs
+         |  FROM (SELECT query_id, qe, unnest(range(0, $m)) AS sub FROM q)),
+         |lut AS (
+         |  SELECT query_id, sub, cell AS code,
+         |    list_dot_product(qs, ce) AS ip, list_dot_product(ce, ce) AS csq
+         |  FROM qsubs JOIN books USING (sub)),
+         |scored AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    sum(ip) AS aip, sqrt(sum(csq)) AS vn
+         |  FROM codes JOIN lut USING (sub, code)
+         |  GROUP BY query_id, vec_id),
+         |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qn FROM q),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM (
+         |      SELECT s.query_id, s.neighbor_id,
+         |        CASE WHEN q.qn * s.vn = 0 THEN 0.0 ELSE s.aip / (q.qn * s.vn) END AS sim
+         |      FROM scored s JOIN qn q USING (query_id)
+         |      WHERE s.query_id <> s.neighbor_id))
+         |  WHERE rn <= $coarseK)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(qv.e, nv.e) AS sim,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, c.neighbor_id) AS rn
+         |  FROM coarse c
+         |  JOIN raw nv ON nv.vec_id = c.neighbor_id
+         |  JOIN raw qv ON qv.vec_id = c.query_id)
+         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Pq.adcRerankTopK(e, e.filter(col("vec_id") < 5), dim, m, k, topK = 3,
+          coarseK = coarseK, iters = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
-    kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup)
+    kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup,
+    pqCodes, pqAdcTopK, pqRerank)
 }
