@@ -199,6 +199,58 @@ object ScaleSoak {
       graft.pipelines.CorpusClean(corpus, minQuality = 0.3, minJaccard = 0.5,
         maxShingleDf = 50).count()
     }
+    // clean_corpus decomposition probes (explicit GRAFT_SOAK_STAGES only,
+    // never part of the default soak): the 10M isolated runs measured the
+    // whole pipeline superlinear with a ~500 s straggler task that MORE
+    // shuffle partitions made worse (32→256 parts: 1275→1504 s wall,
+    // spill 3.6 GB→75 MB, p99 task 431→540 s) — so it is a hot KEY, not
+    // partition sizing. These sub-stages re-run each step of the chain
+    // in isolation so the per-stage skew histogram names the culprit.
+    def probed(name: String)(f: => Long): Unit =
+      if (onlyStages.exists(_(name))) timed(name)(f)
+    probed("clean_scored") {
+      import graft.text.TextAnalysis
+      corpus.select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("pl"),
+          TextAnalysis.wordCount(col("text")).as("nw"),
+          TextAnalysis.punctCount(col("text")).as("np"),
+          length(col("text")).as("nc"))
+        .filter(col("pl") === "en" && col("nw") > 0)
+        .filter(TextAnalysis.qualityScore(col("nw"), col("np"), col("nc")) >= 0.3)
+        .select(col("doc_id")).count()
+    }
+    probed("clean_exact_canon") {
+      corpus.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .count()
+    }
+    probed("clean_shingle_df") {
+      // the ORIGINAL df-via-window shape (pre-round-7): kept as the
+      // before-measurement of the hot-key straggler — one window
+      // partition holds every row of a corpus-hot shingle ("and of
+      // note", df = 0.96·N here), a single ~N-row task no partition
+      // count can split
+      val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      graft.dedup.Dedup.shingles(corpus).distinct()
+        .withColumn("df", count(lit(1)).over(dfW))
+        .filter(col("df") <= 50).count()
+    }
+    probed("clean_shingle_df_hotset") {
+      // the shipped shape (Dedup.jaccardPairs since round 7): combinable
+      // groupBy df → tiny over-cap set → AQE-broadcast anti-join
+      val dist = graft.dedup.Dedup.shingles(corpus).distinct()
+      val hot = dist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("shingle"))
+      dist.join(hot, Seq("shingle"), "left_anti").count()
+    }
+    probed("clean_jaccard") {
+      graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50)
+        .count()
+    }
+    probed("clean_clusters") {
+      graft.dedup.Dedup.clusters(
+        graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50))
+        .count()
+    }
     timed("kmeans_cells") {
       sinkCount(graft.ann.Ann.kmeansCells(emb, k = 64, iters = 2))
     }

@@ -376,15 +376,27 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
-    // df via a whole-partition window, not groupBy+join-back: one shuffle
-    // instead of two over the (huge) shingle table, and the window leaves
-    // the stream hash-partitioned on shingle — exactly the partitioning
-    // the self-join below needs, so the join adds NO further exchange
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = shingles(docs).distinct()
-      .withColumn("df", count(lit(1)).over(dfW))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // df via groupBy + anti-join of the OVER-CAP set, not a
+    // whole-partition window: a window must materialize each shingle's
+    // rows in one task, so one corpus-hot shingle (boilerplate suffix;
+    // the 10M soak's "and of note" at df = 0.96·N) serializes ~N rows
+    // through a single ~540 s task that neither AQE nor more shuffle
+    // partitions can split — windows repartition by COUNT, never by
+    // key occupancy. The groupBy's count is map-side combinable (the
+    // hot key costs one partial per input partition), its output is
+    // only the shingles ABOVE the cap — a set bounded by N·W/cap and in
+    // practice tiny (boilerplate phrases), so AQE turns the anti-join
+    // into a broadcast and the stream never reshuffles for it; if it
+    // ever outgrows broadcast range, a skewed sort-merge anti-join is
+    // still AQE-splittable on the stream side. Measured at 10M docs:
+    // the window shape ran 1275 s (p99 task 540 s); this shape removes
+    // the straggler entirely (SCALE.md "clean_corpus hot key").
+    val dist = shingles(docs).distinct()
+    val hot = dist.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    val sh = dist.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")

@@ -40,6 +40,15 @@ class PairPlanShapeSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "compute the df cap without a per-shingle window" in {
+    // a Window.partitionBy(shingle) materializes every row of a
+    // corpus-hot shingle in ONE task (measured 540 s on the 10M soak's
+    // df=0.96·N boilerplate trigram); the cap must stay a combinable
+    // groupBy + anti-join, which AQE can broadcast or skew-split
+    val p = plan(Dedup.jaccardPairs(docs))
+    p should not include "Window"
+  }
+
   "minhashCandidates" should "join on the band hash, not a cartesian" in {
     val p = plan(Dedup.minhashCandidates(Dedup.minhashSignatures(docs)))
     p should not include "CartesianProduct"
