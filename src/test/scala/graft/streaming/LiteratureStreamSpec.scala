@@ -33,7 +33,9 @@ class LiteratureStreamSpec extends SparkSpec {
       })
 
     val q = LiteratureStream.backfill(writer)
-    q.awaitTermination(120000)
+    // awaitTermination(ms) returns false on timeout — assert it, or a
+    // slow run under full-suite contention asserts against partial counts
+    assert(q.awaitTermination(300000), "stream did not terminate in 300 s")
 
     batches should be >= 1
     // same totals as the batch pipeline over the same corpus
@@ -69,7 +71,7 @@ class LiteratureStreamSpec extends SparkSpec {
     }
     val q1 = LiteratureStream.backfill(writer(crashingSink))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q1.awaitTermination(120000)
+      q1.awaitTermination(300000)
     }
     crashed shouldBe true
 
@@ -77,7 +79,7 @@ class LiteratureStreamSpec extends SparkSpec {
     // with the SAME batchId; the overwrite-by-batch sink rewrites it
     // instead of appending a duplicate
     val q2 = LiteratureStream.backfill(writer(base))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(300000), "replay stream did not terminate in 300 s")
 
     // totals match the batch pipeline exactly — an appending sink would
     // have double-counted the replayed batch
