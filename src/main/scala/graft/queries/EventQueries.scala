@@ -11,15 +11,32 @@ import graft.queries.Q.{decSum, t}
   * the Structured Streaming surface in graft.streaming: identical window
   * and session semantics, verifiable against the DuckDB oracle.
   *
-  * The parquet `ts` is TIMESTAMP(NANOS); the session reads it as long
-  * nanos (spark.sql.legacy.parquet.nanosAsLong). `ts div 1000` is integer
-  * micros — exactly DuckDB's epoch_us(ts) — so all time arithmetic below
-  * is integer-exact cross-engine. (A double division would corrupt the
-  * low bits: 1.7e18 ns exceeds the 2^53 double mantissa.)
+  * The driver has shipped the parquet `ts` under two physical encodings
+  * across rounds: TIMESTAMP(NANOS) — which the sessions read as long
+  * nanos via spark.sql.legacy.parquet.nanosAsLong — and TIMESTAMP(MICROS)
+  * without UTC adjustment, which Spark reads as TIMESTAMP_NTZ. [[events]]
+  * normalizes both to one integer epoch-micros column `ts_us` — exactly
+  * DuckDB's epoch_us(ts) — so all time arithmetic below is integer-exact
+  * cross-engine regardless of encoding. (Double arithmetic would corrupt
+  * the low bits: 1.7e18 ns exceeds the 2^53 double mantissa; the NTZ→LTZ
+  * cast is exact because every session pins timeZone=UTC.)
   */
 object EventQueries {
 
-  private def tsMicros: Column = expr("ts div 1000")
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** events loader; adds `ts_us` (long epoch micros) per the note above. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    val us = df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _                => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", us)
+  }
+
+  private def tsMicros: Column = col("ts_us")
   private def tsCol: Column = timestamp_micros(tsMicros)
 
   /** Tumbling 1-hour window aggregation per event type — the canonical
@@ -31,7 +48,7 @@ object EventQueries {
     """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy(date_trunc("hour", tsCol).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
   }
@@ -59,7 +76,7 @@ object EventQueries {
       |FROM numbered GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
     val gapUs = 30L * 60 * 1000 * 1000
-    t(s, dir, "events")
+    events(s, dir)
       .select(col("user_id"), tsMicros.as("tu"), col("event_id"))
       .withColumn("prev", lag(col("tu"), 1).over(w))
       .withColumn(
@@ -78,7 +95,7 @@ object EventQueries {
     """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy(col("event_type"))
       .agg(
         sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
@@ -94,7 +111,7 @@ object EventQueries {
       |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
       |FROM events""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
-    t(s, dir, "events")
+    events(s, dir)
       .select(col("event_id"), col("user_id"), tsMicros.as("tu"))
       .select(col("event_id"), col("user_id"), (col("tu") - lag(col("tu"), 1).over(w)).as("delta_us"))
   }
@@ -122,7 +139,7 @@ object EventQueries {
       |           CAST(least((x.tu - acc.tu) // 3600000000, 62) AS INT) AS DOUBLE)}).v
       |    AS ewma
       |FROM s""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"), tsMicros.as("tu"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -150,7 +167,7 @@ object EventQueries {
       |  count(*) FILTER (event_type = 'signup') AS signup,
       |  count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
@@ -180,7 +197,7 @@ object EventQueries {
       |FROM counts, (VALUES ('click'), ('error'), ('purchase'), ('signup'),
       |              ('view')) t(event_type)""".stripMargin) { (s, dir) =>
     val types = Seq("click", "error", "purchase", "signup", "view")
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy(col("user_id")).pivot("event_type", types).count()
       .na.fill(0L, types)
       .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
@@ -196,7 +213,7 @@ object EventQueries {
     """SELECT coalesce(event_type, 'ALL') AS event_type,
       |  coalesce(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour, count(*) AS n
       |FROM events GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .rollup(col("event_type"), date_trunc("hour", tsCol).as("hour"))
       .agg(count(lit(1)).as("n"))
       .select(
@@ -215,7 +232,7 @@ object EventQueries {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .select(col("user_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
@@ -233,7 +250,7 @@ object EventQueries {
       |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
       |  count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))
@@ -262,7 +279,7 @@ object EventQueries {
       |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu FROM events
       |      WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.tu >= c.tu""".stripMargin) { (s, dir) =>
-    val ev = t(s, dir, "events")
+    val ev = events(s, dir)
       .select(col("event_id"), col("user_id"), tsMicros.as("tu"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tu"), col("event_id"),
@@ -297,7 +314,7 @@ object EventQueries {
       |  ON e.user_id = c.user_id AND c.tu >= e.tu - 60000000 AND c.tu <= e.tu
       |GROUP BY e.event_id, e.user_id""".stripMargin) { (s, dir) =>
     val winUs = 60L * 1000 * 1000
-    val ev = t(s, dir, "events")
+    val ev = events(s, dir)
       .select(col("event_id"), col("user_id"), tsMicros.as("tu"), col("event_type"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("tu"))
@@ -334,7 +351,7 @@ object EventQueries {
       |  UNION ALL SELECT '2_click', user_id FROM c
       |  UNION ALL SELECT '3_purchase', user_id FROM p)
       |GROUP BY stage""".stripMargin) { (s, dir) =>
-    val ev = t(s, dir, "events")
+    val ev = events(s, dir)
       .select(col("user_id"), tsMicros.as("tu"), col("event_type"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
@@ -364,8 +381,8 @@ object EventQueries {
       |  FROM ev e JOIN firstseen USING (user_id))
       |SELECT cohort, day_offset, count(*) AS users
       |FROM activity GROUP BY cohort, day_offset""".stripMargin) { (s, dir) =>
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val ev = events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
     val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     ev.join(first, "user_id")
       .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("day_offset"))
@@ -374,7 +391,53 @@ object EventQueries {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Type-2 slowly-changing dimension built from the event stream —
+    * the warehouse gaps-and-islands op: per user, consecutive runs of
+    * the same event_type collapse into versioned validity intervals
+    * (valid_from = first event, valid_to = next version's start, open
+    * for the current version). Change detection is a null-safe lag
+    * compare; the island id is the running sum of change flags. All
+    * three window passes and the rollup share the ONE user_id
+    * partitioning — a single shuffle, the sorts pipeline; nothing is
+    * corpus-wide. At 100 TB the dimension build stays a per-entity
+    * linear scan exactly like e2's sessionization.
+    */
+  val scd2Dimension: Q = Q(
+    "e15_scd2",
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+      |    CASE WHEN lag(event_type)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, event_type, tu, event_id,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS BIGINT) AS version
+      |  FROM ordered),
+      |dim AS (
+      |  SELECT user_id, event_type, version,
+      |    min(tu) AS valid_from_us, count(*) AS n_events
+      |  FROM islands GROUP BY user_id, event_type, version)
+      |SELECT user_id, event_type, version, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+      |  n_events
+      |FROM dim""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), tsMicros.as("tu"), col("event_id"))
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("event_type"), col("version"))
+      .agg(min(col("tu")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
     pivotCounts, unpivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
-    funnel, cohortRetention)
+    funnel, cohortRetention, scd2Dimension)
 }
