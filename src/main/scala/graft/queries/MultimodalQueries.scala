@@ -280,6 +280,32 @@ object MultimodalQueries {
         round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
   }
 
+  /** REAL Matroska/webm (EBML, RFC 8794) metadata parse inside the
+    * driver-checked surface — the other container family beside m8's
+    * ISO-BMFF: deterministic hand-rolled EBML trees generated from doc
+    * ids (Matroska.syntheticMkvs — EBML header + Segment(Info + Tracks)
+    * with correct VINT framing; ids ≡ 0 mod 5 use an UNKNOWN-size
+    * Segment, the live-mux form), every 9th payload truncated/corrupt,
+    * parsed per-partition by the pure-JDK EBML walker in `lenient` mode
+    * (the oracle's `doc_id % 9 <> 0` asserts exactly that drop set).
+    * Duration is stored as an 8-byte float of integer units so
+    * duration_ms replays in pure SQL integer arithmetic.
+    */
+  val mkvMeta: Q = Q(
+    "m10_mkv_meta",
+    """SELECT doc_id,
+      |  CAST(250 * (1 + doc_id % 8) * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+      |  CAST(1000000 * (1 + doc_id % 4) AS BIGINT) AS timescale_ns,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+      |  CAST(8 * (1 + doc_id % 7) AS INT) AS width,
+      |  CAST(8 * (1 + doc_id % 5) AS INT) AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_MPEG4/ISO/AVC'
+      |       ELSE 'V_AV1' END AS codec
+      |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Matroska.syntheticMkvs(t(s, dir, "documents"), s)
+    graft.multimodal.Matroska.extractMkvMeta(rows, s, lenient = true).toDF()
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
-    audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames)
+    audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta)
 }
