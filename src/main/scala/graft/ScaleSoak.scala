@@ -235,12 +235,24 @@ object ScaleSoak {
         .filter(col("df") <= 50).count()
     }
     probed("clean_shingle_df_hotset") {
-      // the shipped shape (Dedup.jaccardPairs since round 7): combinable
-      // groupBy df → tiny over-cap set → AQE-broadcast anti-join
+      // the UNHINTED groupBy + anti-join (round 7's first fix attempt,
+      // kept as a before-measurement): without an explicit broadcast
+      // the anti-join plans sort-merge — a second full index shuffle
+      // whose hot-key partition is its own straggler (613 s at 10M)
       val dist = graft.dedup.Dedup.shingles(corpus).distinct()
       val hot = dist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 50).select(col("shingle"))
       dist.join(hot, Seq("shingle"), "left_anti").count()
+    }
+    probed("clean_shingle_df_hotset_bcast") {
+      // the SHIPPED shape (Dedup.jaccardPairs since the round-7 A/B):
+      // combinable groupBy df → tiny over-cap set → EXPLICIT broadcast
+      // anti-join — no sort, no second index shuffle, no key-occupancy
+      // task
+      val dist = graft.dedup.Dedup.shingles(corpus).distinct()
+      val hot = dist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("shingle"))
+      dist.join(broadcast(hot), Seq("shingle"), "left_anti").count()
     }
     probed("clean_jaccard") {
       graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50)

@@ -376,27 +376,32 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
-    // df via groupBy + anti-join of the OVER-CAP set, not a
-    // whole-partition window: a window must materialize each shingle's
-    // rows in one task, so one corpus-hot shingle (boilerplate suffix;
-    // the 10M soak's "and of note" at df = 0.96·N) serializes ~N rows
-    // through a single ~540 s task that neither AQE nor more shuffle
-    // partitions can split — windows repartition by COUNT, never by
-    // key occupancy. The groupBy's count is map-side combinable (the
-    // hot key costs one partial per input partition), its output is
-    // only the shingles ABOVE the cap — a set bounded by N·W/cap and in
-    // practice tiny (boilerplate phrases), so AQE turns the anti-join
-    // into a broadcast and the stream never reshuffles for it; if it
-    // ever outgrows broadcast range, a skewed sort-merge anti-join is
-    // still AQE-splittable on the stream side. Measured at 10M docs:
-    // the window shape ran 1275 s (p99 task 540 s); this shape removes
-    // the straggler entirely (SCALE.md "clean_corpus hot key").
+    // df via groupBy + EXPLICITLY BROADCAST anti-join of the OVER-CAP
+    // set, not a whole-partition window: a window must materialize each
+    // shingle's rows in one task, so one corpus-hot shingle (boilerplate
+    // suffix; the 10M soak's "and of note" at df = 0.96·N) serializes
+    // ~N rows through a single straggler task that neither AQE nor more
+    // shuffle partitions can split — windows repartition by COUNT,
+    // never by key occupancy. The groupBy's count is map-side
+    // combinable (the hot key costs one partial per input partition)
+    // and its output is only the shingles ABOVE the cap — bounded by
+    // index_rows/cap and in practice tiny (boilerplate phrases).
+    // The broadcast hint is LOAD-BEARING, not advisory style: the 10M
+    // isolated A/B measured the unhinted shape planning a sort-merge
+    // anti-join — a SECOND full shuffle of the 340M-row index (11.2 GB
+    // vs 5.6) whose hot-key partition became a 613 s straggler, WORSE
+    // than the window shape it replaced (722 s, max task 421 s); AQE
+    // did not promote the join on its own because the agg-filter
+    // output has no usable size estimate at plan time. With the hint
+    // the cap costs one combinable agg plus a map-side hash probe —
+    // no sort, no second index shuffle, no key-occupancy task
+    // (SCALE.md "clean_corpus hot key", round 7).
     val dist = shingles(docs).distinct()
     val hot = dist.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
-    val sh = dist.join(hot, Seq("shingle"), "left_anti")
+    val sh = dist.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")

@@ -109,21 +109,26 @@ object TextQuality {
     * contamination / near-verbatim-copy detector (catches long shared
     * passages that token-set Jaccard dilutes away in long documents).
     *
-    * Same scale guard as Dedup.jaccardPairs: `maxFpDf` caps the document
-    * frequency of fingerprints admitted to the inverted index (a
-    * fingerprint in c docs contributes c² candidate rows), computed with
-    * a window over the fingerprint key so the stream arrives at the
-    * self-join already partitioned on it — no extra exchange. Boilerplate
-    * passages shared corpus-wide are exactly what the cap drops.
+    * Same scale guard as Dedup.jaccardPairs, same shape: `maxFpDf` caps
+    * the document frequency of fingerprints admitted to the inverted
+    * index (a fingerprint in c docs contributes c² candidate rows) via
+    * a combinable groupBy df + broadcast anti-join of the tiny over-cap
+    * set. A df WINDOW over the fingerprint key — this function's
+    * original shape — materializes each fingerprint's rows in one task,
+    * so one corpus-hot boilerplate passage becomes an unsplittable
+    * straggler exactly as measured for jaccardPairs at 10M docs
+    * (SCALE.md "clean_corpus hot key"); the over-cap set is bounded by
+    * index_rows/cap, and boilerplate passages shared corpus-wide are
+    * exactly what the cap drops.
     */
   def overlapPairs(fps: DataFrame, minShared: Int = 2,
       maxFpDf: Int = 1000, idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"overlapPairs needs minShared >= 1, got $minShared")
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val idx = fps
-      .withColumn("df", count(lit(1)).over(dfW))
-      .filter(col("df") <= maxFpDf)
-      .drop("df")
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDf)
+      .select(col("fp"))
+    val idx = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     idx.alias("a")
       .join(idx.alias("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -44,9 +44,27 @@ class PairPlanShapeSpec extends SparkSpec {
     // a Window.partitionBy(shingle) materializes every row of a
     // corpus-hot shingle in ONE task (measured 540 s on the 10M soak's
     // df=0.96·N boilerplate trigram); the cap must stay a combinable
-    // groupBy + anti-join, which AQE can broadcast or skew-split
+    // groupBy + anti-join
     val p = plan(Dedup.jaccardPairs(docs))
     p should not include "Window"
+  }
+
+  it should "broadcast the over-cap set into the anti-join" in {
+    // the hint is load-bearing: unhinted, the anti-join planned as a
+    // sort-merge — a second full shuffle of the inverted index whose
+    // hot-key partition became a 613 s straggler at 10M docs, worse
+    // than the window shape it replaced (SCALE.md round 7)
+    val p = plan(Dedup.jaccardPairs(docs))
+    p should include ("BroadcastHashJoin")
+    p should include ("LeftAnti")
+  }
+
+  "TextQuality.overlapPairs df cap" should "be a broadcast anti-join, not a window" in {
+    val fps = graft.text.TextQuality.winnowedFingerprints(docs)
+    val p = plan(graft.text.TextQuality.overlapPairs(fps))
+    p should not include "Window"
+    p should include ("BroadcastHashJoin")
+    p should include ("LeftAnti")
   }
 
   "minhashCandidates" should "join on the band hash, not a cartesian" in {
