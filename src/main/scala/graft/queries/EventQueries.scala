@@ -437,7 +437,31 @@ object EventQueries {
         col("valid_from_us"), col("valid_to_us"), col("n_events"))
   }
 
+  /** Hopping (sliding) 1-hour window with a 15-minute hop, per event
+    * type — the streaming hop-window's batch twin (e1 is the tumbling
+    * special case). Spark's `window(ts, len, slide)` explodes each event
+    * into exactly len/slide = 4 member windows BEFORE the aggregation,
+    * so the shuffle carries a bounded 4× fan-out of map-side-combined
+    * partials — never per-window rescans of the input. The oracle
+    * replays the same membership set arithmetically: the windows
+    * containing t are the 4 whose starts occupy the slide slots
+    * t_slot−3 … t_slot.
+    */
+  val hoppingAgg: Q = Q(
+    "e16_hopping_agg",
+    """SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS wstart_us,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total_value
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    events(s, dir)
+      .groupBy(window(tsCol, "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("wstart_us"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
     pivotCounts, unpivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
-    funnel, cohortRetention, scd2Dimension)
+    funnel, cohortRetention, scd2Dimension, hoppingAgg)
 }

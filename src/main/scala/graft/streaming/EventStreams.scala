@@ -39,6 +39,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Hopping 1-hour windows advancing every 15 minutes, 2-hour
+    * watermark — each event lands in exactly 4 open windows (bounded
+    * explode before the stateful agg, so state is per open window ×
+    * type, never per event). Batch twin: q:e16_hopping_agg.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+
   /** Built-in session windows: 30-minute inactivity gap, watermark-bounded
     * state — the declarative path, preferred when per-session output is a
     * plain aggregate.

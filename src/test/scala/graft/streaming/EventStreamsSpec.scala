@@ -39,6 +39,20 @@ class EventStreamsSpec extends SparkSpec {
     rows should contain((ts(0), 2L, 3.0)) // late event 4 NOT counted
   }
 
+  "hoppingAgg" should "count each event in its 4 hopping windows" in {
+    val out = runBatches(Seq(
+      Seq(Event(1, ts(10), 1, "click", 1.0)),
+      // advance event time past the watermark so ts(10)'s windows close
+      Seq(Event(2, ts(400), 1, "click", 2.0))))(EventStreams.hoppingAgg)
+
+    val rows = out.select(col("wstart"), col("n"), col("total_value"))
+      .as[(Timestamp, Long, Double)].collect().toSet
+    // ts(10) = minute 10 → slide slot 0 (0:00) is the only slot in
+    // 0:00..0:10; member windows start at −0:45, −0:30, −0:15, 0:00
+    rows should contain allOf(
+      (ts(-45), 1L, 1.0), (ts(-30), 1L, 1.0), (ts(-15), 1L, 1.0), (ts(0), 1L, 1.0))
+  }
+
   "sessionize (flatMapGroupsWithState)" should "close sessions on gap and emit summaries" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
