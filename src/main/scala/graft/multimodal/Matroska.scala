@@ -3,11 +3,15 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Pure-JDK Matroska (mkv/webm) METADATA support — the EBML half of the
-  * container story beside [[Media.parseMp4Meta]]'s ISO-BMFF half. A
-  * corpus pipeline needs container metadata (duration caps, resolution
-  * buckets, codec allowlists) long before any frame decode, and mkv/webm
-  * is the other container family a 100 TB crawl actually contains.
+/** Pure-JDK Matroska (mkv/webm) support — the EBML half of the
+  * container story beside [[Media.parseMp4Meta]]'s ISO-BMFF half:
+  * metadata parse ([[extractMkvMeta]]) plus REAL frame decode for
+  * intra-frame codecs ([[extractMkvFrames]], `V_MJPEG` via the shared
+  * imageio path; inter-frame codec BYTES still need an external
+  * decoder). A corpus pipeline needs container metadata (duration caps,
+  * resolution buckets, codec allowlists) long before any frame decode,
+  * and mkv/webm is the other container family a 100 TB crawl actually
+  * contains.
   *
   * EBML framing per RFC 8794: every element is
   * `VINT id, VINT size, body` where a VINT's first byte's leading-zero
@@ -45,6 +49,12 @@ object Matroska {
   private val IdVideo = 0xE0L
   private val IdPixelWidth = 0xB0L
   private val IdPixelHeight = 0xBAL
+  private val IdTrackNumber = 0xD7L
+  private val IdCluster = 0x1F43B675L
+  private val IdClusterTimestamp = 0xE7L
+  private val IdSimpleBlock = 0xA3L
+  private val IdBlockGroup = 0xA0L
+  private val IdBlock = 0xA1L
 
   // ------------------------------------------------------------- parser
 
@@ -169,6 +179,98 @@ object Matroska {
     }
   }
 
+  /** Demux the video track's frame byte ranges from an mkv payload →
+    * (codec id, per-frame (offset, length) in decode order). Walks every
+    * Cluster's SimpleBlocks plus Block-in-BlockGroup (the two framings
+    * muxers emit), keeps only blocks whose VINT track number matches the
+    * first TrackType=1 entry's TrackNumber, and rejects laced blocks
+    * (lacing packs several frames per block — the fixtures never lace,
+    * and a laced corpus payload should fall to `lenient` rather than
+    * silently mis-split). Unknown-size Clusters are only supported as
+    * the LAST top-level element (the walker's extends-to-parent-end
+    * rule); live-muxed multi-cluster streams need a Cluster-id scan this
+    * metadata-first library doesn't attempt.
+    */
+  private[multimodal] def parseMkvFrames(payload: Array[Byte]): (String, Vector[(Int, Int)]) = {
+    val w = new EbmlWalker(payload)
+    if (payload.length < 4) w.bad("too short")
+    val top = w.children(0, payload.length)
+    if (top.isEmpty || top.head._1 != IdEbml) w.bad("no EBML header magic")
+    val (_, segB, segE) = top.find(_._1 == IdSegment).getOrElse(w.bad("no Segment"))
+    val seg = w.children(segB, segE)
+
+    val entries = seg.find(_._1 == IdTracks).map(x => w.children(x._2, x._3))
+      .getOrElse(Vector.empty).filter(_._1 == IdTrackEntry)
+    val video = entries.map { case (_, b, e) => w.children(b, e) }
+      .find(_.exists(c => c._1 == IdTrackType && w.uint(c._2, c._3) == 1L))
+      .getOrElse(w.bad("no video track"))
+    val trackNo = video.find(_._1 == IdTrackNumber)
+      .map(c => w.uint(c._2, c._3)).getOrElse(w.bad("video track has no number"))
+    val codec = video.find(_._1 == IdCodecId)
+      .map(c => w.string(c._2, c._3)).getOrElse("")
+
+    // a block's body: VINT track number (size-form), 2-byte relative
+    // timestamp, 1 flags byte (lacing in bits 1–2), then the frame bytes
+    def frameRange(b: Int, e: Int): Option[(Int, Int)] = {
+      val (tn, tlen) = w.vint(b, isId = false)
+      if (b + tlen + 3 > e) w.bad("truncated block header")
+      if (tn != trackNo) None
+      else {
+        val flags = payload(b + tlen + 2) & 0xff
+        if ((flags & 0x06) != 0) w.bad("laced block unsupported")
+        Some((b + tlen + 3, e - (b + tlen + 3)))
+      }
+    }
+    val frames = seg.filter(_._1 == IdCluster).flatMap { case (_, cb, ce) =>
+      w.children(cb, ce).flatMap {
+        case (IdSimpleBlock, b, e) => frameRange(b, e)
+        case (IdBlockGroup, b, e) =>
+          w.children(b, e).collectFirst { case (IdBlock, bb, be) => (bb, be) }
+            .flatMap { case (bb, be) => frameRange(bb, be) }
+        case _ => None
+      }
+    }
+    if (frames.isEmpty) w.bad("no video frames in any cluster")
+    (codec, frames)
+  }
+
+  /** REAL frame decode for mkv tracks whose blocks are self-contained
+    * images (`V_MJPEG` and friends): [[parseMkvFrames]] demuxes each
+    * frame's byte range from the Cluster blocks and every
+    * `frameStride`-th one decodes through the shared imageio path
+    * ([[Media.extractMp4Frames]]'s shape — map-side fan-out bounded by
+    * frames/stride, zero shuffle, one EBML walk per payload per
+    * partition). Inter-frame codecs (V_VP9, V_MPEG4/ISO/AVC, V_AV1…)
+    * demux fine but their block BYTES need an external decoder, so they
+    * throw with the codec named; `lenient` drops them along with
+    * malformed containers.
+    */
+  def extractMkvFrames(rows: Dataset[MediaRow], spark: SparkSession,
+      frameStride: Int = 1, lenient: Boolean = false): Dataset[FrameFeatures] = {
+    require(frameStride > 0, "frameStride must be positive")
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val (codec, frames) = parseMkvFrames(r.payload)
+          frames.indices.by(frameStride).map { i =>
+            val (w, h, rgb) =
+              try Media.decodeFrame(r.payload, frames(i))
+              catch {
+                case e: IllegalArgumentException => throw new IllegalArgumentException(
+                  s"mkv '$codec' block $i needs an external codec", e)
+              }
+            FrameFeatures(r.doc_id, i, w, h,
+              Array(rgb(0), rgb(1), rgb(2),
+                0.299f * rgb(0) + 0.587f * rgb(1) + 0.114f * rgb(2)))
+          }.iterator
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------ fixtures
 
   /** Minimal-length VINT encoding of a size (marker bit set; all-ones
@@ -244,6 +346,76 @@ object Matroska {
             idBytes(IdSegment) ++ Array(0xffL.toByte) ++ segBody
           else element(IdSegment, segBody)
         val bytes = ebml ++ segment
+        MediaRow(id, "video/x-matroska",
+          if (id % 9 == 0) java.util.Arrays.copyOf(bytes, 6) else bytes)
+      }
+    }
+  }
+
+  /** Deterministic REAL MJPEG-track mkv payloads derived purely from doc
+    * ids: EBML header + Segment(Info + Tracks + Clusters) where track 1
+    * is `V_MJPEG` video and track 2 is `A_PCM/INT/LIT` audio. Each of
+    * the `1 + id % 5` video frames is a solid-color
+    * `(1 + id % 7) × (1 + id % 6)` image with per-frame channels
+    * `((id + 11f) % 256, (7id + 5f) % 256, (13id + 3f) % 256)` — colors
+    * differ per block, so a misread byte range decodes the wrong frame
+    * and hash-fails. Video frames ride SimpleBlocks on even ids and
+    * Block-in-BlockGroup on odd ids (both real-world framings); junk
+    * audio blocks precede and interleave the video blocks, so the demux
+    * must filter by track number, not position; frames split across TWO
+    * Clusters when more than two exist, exercising the multi-cluster
+    * walk. PNG frame bytes keep the fixture lossless (imageio sniffs
+    * content — the m7/m9 pattern). Every 9th payload truncates to
+    * 6 bytes for the `lenient` drop path.
+    */
+  def syntheticMjpegMkvs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = (1 + id % 5).toInt
+        val (w, h) = ((1 + id % 7).toInt, (1 + id % 6).toInt)
+        val frames = Vector.tabulate(nFrames) { f =>
+          val rgb = ((((id + 11 * f) % 256) << 16) |
+            (((id * 7 + 5 * f) % 256) << 8) | ((id * 13 + 3 * f) % 256)).toInt
+          Media.solidPng(w, h, rgb)
+        }
+        val ebml = element(IdEbml, element(0x4286L, uintBytes(1)) ++
+          element(0x4282L, "matroska".getBytes("US-ASCII")))
+        val info = element(IdInfo,
+          element(IdTimestampScale, uintBytes(1000000L)) ++
+            element(IdDuration, {
+              val bits = java.lang.Double.doubleToLongBits(40.0 * nFrames)
+              Array.tabulate(8)(i => ((bits >> (8 * (7 - i))) & 0xff).toByte)
+            }))
+        val tracks = element(IdTracks,
+          element(IdTrackEntry,
+            element(IdTrackNumber, uintBytes(1)) ++
+              element(IdTrackType, uintBytes(1)) ++
+              element(IdCodecId, "V_MJPEG".getBytes("US-ASCII")) ++
+              element(IdVideo,
+                element(IdPixelWidth, uintBytes(w.toLong)) ++
+                  element(IdPixelHeight, uintBytes(h.toLong)))) ++
+            element(IdTrackEntry,
+              element(IdTrackNumber, uintBytes(2)) ++
+                element(IdTrackType, uintBytes(2)) ++
+                element(IdCodecId, "A_PCM/INT/LIT".getBytes("US-ASCII"))))
+        // block body: VINT track (size-form), 2-byte BE timestamp, flags
+        def blockBody(track: Long, tsMs: Int, data: Array[Byte]): Array[Byte] =
+          vintBytes(track) ++
+            Array(((tsMs >> 8) & 0xff).toByte, (tsMs & 0xff).toByte, 0x80.toByte) ++ data
+        def videoBlock(f: Int): Array[Byte] =
+          if (id % 2 == 0) element(IdSimpleBlock, blockBody(1, 40 * f, frames(f)))
+          else element(IdBlockGroup, element(IdBlock, blockBody(1, 40 * f, frames(f))))
+        def audioBlock(f: Int): Array[Byte] =
+          element(IdSimpleBlock, blockBody(2, 40 * f + 20,
+            Array.tabulate(4)(i => ((id + f + i) % 256).toByte)))
+        def cluster(fs: Range): Array[Byte] = element(IdCluster,
+          element(IdClusterTimestamp, uintBytes(40L * fs.head)) ++
+            fs.map(f => audioBlock(f) ++ videoBlock(f)).reduce(_ ++ _))
+        val clusters =
+          if (nFrames > 2) cluster(0 until 2) ++ cluster(2 until nFrames)
+          else cluster(0 until nFrames)
+        val bytes = ebml ++ element(IdSegment, info ++ tracks ++ clusters)
         MediaRow(id, "video/x-matroska",
           if (id % 9 == 0) java.util.Arrays.copyOf(bytes, 6) else bytes)
       }

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * frame decode are REAL ([[Media.parseMp4Samples]]: stsz/stsc/stco/co64
   * sample tables → per-frame byte ranges; [[Media.extractMp4Frames]]
   * decodes `jpeg`-fourcc samples through imageio) — all zero external
-  * dependencies. The one remaining stub is the sample-byte decode for
-  * inter-frame codecs (H.264/HEVC/VP9/AV1, and mkv containers): those
+  * dependencies; [[Matroska]] adds the same metadata + intra-frame
+  * decode surface for mkv/webm. The one remaining stub is the
+  * sample-byte decode for inter-frame codecs (H.264/HEVC/VP9/AV1): those
   * fall back to the clearly-marked deterministic [[Media.StubDecoder]]
   * behind the same `Decoder` trait (a production binding would use
   * ffmpeg/jcodec). Everything Spark-side (schema, batching, partition
@@ -231,7 +232,7 @@ object Media {
   /** Decode one frame chunk by imageio content sniffing → (w, h,
     * [meanR, meanG, meanB]); throws on undecodable bytes.
     */
-  private def decodeFrame(payload: Array[Byte], chunk: (Int, Int)): (Int, Int, Array[Float]) = {
+  private[multimodal] def decodeFrame(payload: Array[Byte], chunk: (Int, Int)): (Int, Int, Array[Float]) = {
     val (off, len) = chunk
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload, off, len))
@@ -256,7 +257,7 @@ object Media {
   /** Deterministic fake decoder: dimensions and features derived from the
     * payload bytes, so specs can assert exact values. STUB — now the
     * binding only for sample-byte decode of inter-frame video codecs
-    * (H.264/HEVC/VP9/AV1, and mkv containers; a production binding would
+    * (H.264/HEVC/VP9/AV1 in either container; a production binding would
     * bridge ffmpeg/jcodec): images decode for real via
     * [[ImageIoDecoder]], WAV audio via [[WavDecoder]], MJPEG/AVI video
     * via [[MjpegAviDecoder]], mp4 METADATA parses for real via
@@ -302,7 +303,7 @@ object Media {
     * oracle despite PNG bytes themselves being codec-version-dependent.
     */
   /** Solid-color PNG bytes for the deterministic fixtures. */
-  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+  private[multimodal] def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

@@ -306,6 +306,43 @@ object MultimodalQueries {
     graft.multimodal.Matroska.extractMkvMeta(rows, s, lenient = true).toDF()
   }
 
+  /** REAL mkv DEMUX + frame decode inside the driver-checked surface —
+    * the EBML twin of m9: deterministic MJPEG-track mkvs generated from
+    * doc ids (Matroska.syntheticMjpegMkvs — Segment whose Clusters carry
+    * real video frames as SimpleBlocks on even ids and
+    * Block-in-BlockGroup on odd, interleaved with junk audio blocks the
+    * demux must skip by track number, split across two Clusters past two
+    * frames), every 9th payload truncated/corrupt, demuxed and decoded
+    * per-partition by Matroska.extractMkvFrames (Cluster block walk →
+    * per-frame byte range → imageio) at stride 2 in `lenient` mode (the
+    * oracle's `doc_id % 9 <> 0` asserts exactly that drop set). Frame f
+    * has per-frame planted channels `((id + 11f) % 256, (7id + 5f) % 256,
+    * (13id + 3f) % 256)` — different per block, so a misread range
+    * (wrong cluster, wrong lacing skip, audio bytes) decodes the wrong
+    * color and hash-fails; the sampled frame numbers are the arithmetic
+    * sequence 0, 2, … below `1 + id % 5`, replayed by generate_series.
+    */
+  val mkvFrames: Q = Q(
+    "m11_mkv_frames",
+    """SELECT doc_id,
+      |  CAST(f AS INT) AS frame_no,
+      |  CAST(1 + doc_id % 7 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST((doc_id + 11 * f) % 256 AS INT) AS mean_r,
+      |  CAST((doc_id * 7 + 5 * f) % 256 AS INT) AS mean_g,
+      |  CAST((doc_id * 13 + 3 * f) % 256 AS INT) AS mean_b
+      |FROM documents, unnest(range(0, 1 + doc_id % 5, 2)) AS t(f)
+      |WHERE doc_id % 9 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Matroska.syntheticMjpegMkvs(t(s, dir, "documents"), s)
+    graft.multimodal.Matroska.extractMkvFrames(rows, s, frameStride = 2, lenient = true)
+      .toDF()
+      .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+        round(element_at(col("feature"), 1).cast("double") * 255).cast("int").as("mean_r"),
+        round(element_at(col("feature"), 2).cast("double") * 255).cast("int").as("mean_g"),
+        round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
-    audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta)
+    audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
+    mkvFrames)
 }

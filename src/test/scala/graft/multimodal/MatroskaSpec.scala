@@ -48,6 +48,58 @@ class MatroskaSpec extends SparkSpec {
     ex.getMessage should include("doc 7")
   }
 
+  "syntheticMjpegMkvs + extractMkvFrames" should
+      "demux and decode planted frames across clusters and framings" in {
+    val rows = Matroska.syntheticMjpegMkvs(docs, spark).as[MediaRow].repartition(3)
+    val frames = Matroska.extractMkvFrames(rows, spark, lenient = true)
+      .collect().map(f => (f.doc_id, f.frame_no) -> f).toMap
+
+    val ids = docs.select("doc_id").as[Long].collect()
+    // every frame of every non-truncated payload, stride 1
+    frames.keySet shouldBe ids.filter(_ % 9 != 0)
+      .flatMap(id => (0 until (1 + id % 5).toInt).map(f => (id, f))).toSet
+
+    ids.filter(_ % 9 != 0).foreach { id =>
+      (0 until (1 + id % 5).toInt).foreach { f =>
+        val fr = frames((id, f))
+        fr.width shouldBe (1 + id % 7).toInt
+        fr.height shouldBe (1 + id % 6).toInt
+        math.round(fr.feature(0) * 255) shouldBe ((id + 11 * f) % 256)
+        math.round(fr.feature(1) * 255) shouldBe ((id * 7 + 5 * f) % 256)
+        math.round(fr.feature(2) * 255) shouldBe ((id * 13 + 3 * f) % 256)
+      }
+    }
+  }
+
+  it should "sample every strideth frame" in {
+    val rows = Matroska.syntheticMjpegMkvs(Seq(4L).toDF("doc_id"), spark).as[MediaRow]
+    val got = Matroska.extractMkvFrames(rows, spark, frameStride = 2)
+      .collect().map(_.frame_no).sorted
+    got shouldBe Array(0, 2, 4) // 5 frames at id 4, stride 2
+  }
+
+  it should "name the codec when block bytes need an external decoder" in {
+    // the METADATA fixture carries inter-frame codec ids but no clusters;
+    // build one V_VP9 payload with a junk-bytes video block instead
+    val junk = Matroska.syntheticMjpegMkvs(Seq(3L).toDF("doc_id"), spark)
+      .as[MediaRow].head()
+    // corrupt every frame's PNG magic so imageio can't decode it
+    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)
+    val p = junk.payload.clone()
+    var i = 0
+    while (i < p.length - 3) {
+      if (p(i) == pngMagic(0) && p(i + 1) == pngMagic(1) &&
+          p(i + 2) == pngMagic(2) && p(i + 3) == pngMagic(3)) { p(i + 1) = 0 }
+      i += 1
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      Matroska.extractMkvFrames(Seq(MediaRow(3L, "video/x-matroska", p)).toDS(),
+        spark).collect()
+    }
+    ex.getMessage should include("needs an external codec")
+    ex.getMessage should include("V_MJPEG")
+  }
+
   it should "default TimestampScale to 1ms when Info omits it" in {
     // hand-built: EBML header + Segment(Info(Duration=4 units only))
     // 4-byte float this time — the parser accepts both widths
