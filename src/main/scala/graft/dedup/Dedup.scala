@@ -305,6 +305,33 @@ object Dedup {
     (labels.select(col("doc_id"), col("label").as("canonical_id")), iter)
   }
 
+  /** Quality-aware canonical selection over resolved duplicate clusters:
+    * instead of [[clusters]]' min-id canonical (fine for identity, wrong
+    * for curation — the lowest id is often the worst-OCR'd or truncated
+    * copy), each cluster keeps the member with the HIGHEST quality
+    * score, id-ascending on ties. This is the "keep best duplicate"
+    * policy of production pre-training dedup.
+    *
+    * `clusters` is [[clusters]]' output (doc_id, canonical_id);
+    * `quality` carries (idCol, qualityCol). One equi-join re-attaches
+    * quality (AQE-broadcastable when the clustered set is small —
+    * clusters cover only docs that appeared in a candidate pair, a
+    * sliver of the corpus) and one combinable `max_by` aggregation picks
+    * the representative — a single shuffle on cluster key with map-side
+    * partials, so a pathological giant cluster flattens before the
+    * exchange; no window, no sort. Returns (cluster_id, rep_id,
+    * rep_quality rounded to 6 for cross-engine output stability,
+    * n_members).
+    */
+  def clusterRepresentatives(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id", qualityCol: String = "q"): DataFrame =
+    clusters.join(quality, Seq(idCol))
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(
+        max_by(col(idCol), struct(col(qualityCol), (-col(idCol)).as("nid"))).as("rep_id"),
+        round(max(col(qualityCol)), 6).as("rep_quality"),
+        count(lit(1)).as("n_members"))
+
   /** Embedding-cosine near-duplicate document pairs — the semantic
     * dedup flavor (catches paraphrases and re-encodings that defeat
     * lexical MinHash/SimHash). Candidates come from multi-table

@@ -211,6 +211,40 @@ object Sampling {
       .drop("_toks", "_w", "_z")
   }
 
+  /** Fixed-k weighted sampling WITHOUT replacement per stratum —
+    * Efraimidis–Spirakis (2006) reservoir keys, exact-arithmetic form:
+    * instead of ranking rows by u^(1/w) (whose pow/ln would hang
+    * cross-engine determinism on libm rounding), each row's key is the
+    * MINIMUM of `w` independent md5 uniforms — the first order
+    * statistic of w uniforms, which induces the identical selection
+    * distribution for INTEGER weights (P(row A outranks row B) =
+    * w_A/(w_A+w_B), the E–S pairwise property) using nothing but hex
+    * string comparisons, so both engines agree bit-for-bit. The top-k
+    * smallest keys per stratum win.
+    *
+    * Key computation is per-row array arithmetic (fan-out bounded by
+    * the weight, which must be a SMALL positive integer — weights are
+    * priorities like quality buckets 1..10, not free-form floats; rows
+    * with weight < 1 get a null key and are ranked last, never
+    * selected over a real key). Selection is one per-stratum top-k
+    * window — the only shuffle, keyed on the stratum. The lambda
+    * captures only the projected id attribute (house rule).
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    // guard BEFORE sequence(): sequence(1, 0) steps backwards in Spark,
+    // it does not produce an empty array
+    val key = when(weightCol >= 1,
+      array_min(transform(sequence(lit(1), weightCol),
+        j => md5(concat(col(idCol).cast("string"), lit(":"), j.cast("string"))))))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("es_key").asc_nulls_last, col(idCol))
+    df.withColumn("es_key", key)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k && col("es_key").isNotNull)
+      .drop("_rn")
+  }
+
   /** Deterministic corpus shuffle — the training-order primitive: every
     * row gets a stable pseudo-random 0-based `position` (the order a
     * packed-dataset writer consumes documents in) by ranking rows on the

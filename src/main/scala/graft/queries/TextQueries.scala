@@ -280,6 +280,70 @@ object TextQueries {
     }
   }
 
+  /** Quality-aware cluster representatives (Dedup.clusterRepresentatives):
+    * d7's connected components re-resolved to the "keep best duplicate"
+    * curation policy — each cluster's representative is its
+    * highest-quality member (x2's exact quality formula over the
+    * augmented corpus, n_chars = length(text)), id-ascending on ties.
+    * The oracle replays d7's recursive reachability closure, computes
+    * the identical single-IEEE-division quality, and arg-maxes with
+    * row_number. The 'xx '-prefixed near-dup copies shift word counts,
+    * so representative choice genuinely depends on the quality term,
+    * not just ids.
+    */
+  val clusterReps: Q = {
+    val maxDf = 50
+    Q(
+      "d12_cluster_reps",
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sizes sa ON doc1 = sa.doc_id
+         |  JOIN sizes sb ON doc2 = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.r FROM reach r JOIN edges e ON r.doc_id = e.s),
+         |clus AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+         |q AS (SELECT doc_id,
+         |        least(CAST(n_words AS DOUBLE) / 50, 1.0) * (1 - CAST(n_punct AS DOUBLE) / n_chars) AS q
+         |      FROM (SELECT doc_id,
+         |              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+         |              len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+         |              length(text) AS n_chars
+         |            FROM corpus)),
+         |j AS (SELECT c.canonical_id, c.doc_id, q.q,
+         |        row_number() OVER (PARTITION BY c.canonical_id
+         |                           ORDER BY q.q DESC, c.doc_id) AS rn
+         |      FROM clus c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT canonical_id AS cluster_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+         |  round(max(q), 6) AS rep_quality,
+         |  count(*) AS n_members
+         |FROM j GROUP BY canonical_id""".stripMargin) { (s, dir) =>
+      val c = corpus(s, dir)
+      val clus = Dedup.clusters(
+        Dedup.jaccardPairs(c, minJaccard = 0.5, maxShingleDf = maxDf))
+      val quality = c.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(
+          graft.text.TextAnalysis.wordCount(col("text")),
+          graft.text.TextAnalysis.punctCount(col("text")),
+          length(col("text"))).as("q"))
+      Dedup.clusterRepresentatives(clus, quality)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (Dedup.embeddingNearDups) —
     * the semantic dedup flavor: multi-table hyperplane-LSH candidates,
     * exact cosine verify, document metadata re-attached. The oracle
@@ -1440,9 +1504,94 @@ object TextQueries {
     }
   }
 
+  /** Fixed-k weighted sampling without replacement
+    * (Sampling.weightedSample): Efraimidis–Spirakis selection with
+    * integer weights realized as min-of-w md5 uniforms — pure hex
+    * string comparison, so the selected SET (not just scores) is
+    * bit-identical cross-engine with no libm anywhere. Weights are
+    * length-derived priority buckets (1 + n_words/10 capped at 5),
+    * strata are doc_id % 3 shards, k = 5 winners per stratum.
+    */
+  val weightedSample: Q = Q(
+    "x34_weighted_sample",
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 3 AS shard,
+      |    least(1 + len(list_filter(string_split(text, ' '), t -> t <> '')) // 10, 5) AS w
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT *, list_min(list_transform(range(1, w + 1),
+      |                     j -> md5(doc_id || ':' || j))) AS es_key
+      |  FROM base),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard
+      |                               ORDER BY es_key, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT doc_id, shard, CAST(w AS INT) AS w, es_key
+      |FROM ranked WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "documents").select(
+      col("doc_id"),
+      (col("doc_id") % 3).as("shard"),
+      least(lit(1) + (graft.text.TextAnalysis.wordCount(col("text")) / lit(10)).cast("int"),
+        lit(5)).as("w"))
+    graft.dedup.Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 5)
+  }
+
+  /** Cross-document boilerplate removal (TextQuality.removeBoilerplate) —
+    * the CCNet line-level dedup stage. The natural corpus has no
+    * repeated sentences (max cross-doc sentence df is 1 in the
+    * testdata), so the query plants three boilerplate sentences
+    * relationally on BOTH engines: two above the df threshold (every
+    * 3rd / every 4th doc) that must be stripped from every document,
+    * and one rare plant (every 97th doc, df ≤ maxDf at every SF in use)
+    * that must SURVIVE — the boundary the threshold semantics turn on.
+    * Plants are '.'-prefixed so they split off cleanly whatever the
+    * original text ends with. The md5 of the kept-sentence join proves
+    * exact reconstruction order, not just counts.
+    */
+  val boilerplateRemoval: Q = {
+    val plant =
+      """(CASE WHEN doc_id % 3 = 0
+        |      THEN '. Subscribe to our newsletter. All rights reserved.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |      THEN '. Click here to continue reading.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 97 = 0
+        |      THEN '. Rare piece of boilerplate.' ELSE '' END)""".stripMargin
+    Q(
+      "x33_boilerplate_removal",
+      s"""WITH aug AS (SELECT doc_id, text || $plant AS text FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+         |              x -> length(x) > 0) AS sents FROM aug),
+         |e AS (SELECT DISTINCT doc_id, sent
+         |      FROM (SELECT doc_id, unnest(sents) AS sent FROM s)),
+         |hot AS (SELECT sent FROM e GROUP BY sent HAVING count(*) > 10),
+         |ex AS (SELECT doc_id, unnest(sents) AS sent,
+         |             generate_subscripts(sents, 1) AS pos FROM s),
+         |kept AS (SELECT doc_id, sent, pos FROM ex
+         |         WHERE sent NOT IN (SELECT sent FROM hot)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(sent, ' ' ORDER BY pos) AS cleaned
+         |        FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.sents) AS INT) AS n_sents,
+         |  CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+         |  md5(coalesce(agg.cleaned, '')) AS clean_md5
+         |FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id""".stripMargin) { (s, dir) =>
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(". Subscribe to our newsletter. All rights reserved.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit(". Click here to continue reading.")).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit(". Rare piece of boilerplate.")).otherwise(lit(""))).as("text"))
+      graft.text.TextQuality.removeBoilerplate(aug, maxDf = 10)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    simhashPairsComb, ngramJaccardPairs, dedupClusters, embeddingNearDups,
+    simhashPairsComb, ngramJaccardPairs, dedupClusters, clusterReps,
+    embeddingNearDups,
     langId, qualityScore,
     tokenStats, fingerprint,
     textKeys, stemmedKeys, sentenceSplit, sentenceDedup, hashSplit, stratifiedSample,
@@ -1452,5 +1601,5 @@ object TextQueries {
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
-    ngramPerplexity, dsirWeights)
+    ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample)
 }

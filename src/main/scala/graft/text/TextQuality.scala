@@ -136,4 +136,48 @@ object TextQuality {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-document boilerplate removal, the line-level dedup stage of
+    * CCNet-style cleaning (Wenzek et al. 2020): a sentence appearing in
+    * MORE than `maxDf` distinct documents is boilerplate (cookie
+    * banners, navigation, license footers) and is stripped from every
+    * document; within-doc repeats of a surviving sentence are kept
+    * (that's [[TextAnalysis.firstOccurrences]]'s job).
+    *
+    * Physical shape: per-document DISTINCT sentences are array ops
+    * (map-side), so the document-frequency aggregation is one
+    * combinable shuffle over the distinct-sentence key space; the
+    * over-threshold survivors collapse to a single sorted-array row
+    * that broadcasts back via crossJoin, and the per-document filter is
+    * a higher-order lambda over the already-materialized sentence
+    * array — the DOCUMENT stream never shuffles. The broadcast is
+    * sound because the hot set is small by construction (sentences
+    * repeated across >maxDf documents); if a pathological corpus ever
+    * produced a non-broadcastable hot set, the fallback is the
+    * [[overlapPairs]] discipline: keep sentences exploded and
+    * anti-join. The lambda captures only the projected `hot` attribute
+    * (house rule: never an inline expression).
+    *
+    * Returns (idCol, n_sents, n_kept, clean_md5) — md5 of the kept
+    * sentences joined by one space, the compact equality the oracle
+    * replays.
+    */
+  def removeBoilerplate(docs: DataFrame, maxDf: Long, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 1, s"removeBoilerplate needs maxDf >= 1, got $maxDf")
+    val sents = docs.select(col(idCol),
+      TextAnalysis.sentences(col(textCol)).as("sents"))
+    val hot = sents
+      .select(explode(array_distinct(col("sents"))).as("sent"))
+      .groupBy(col("sent")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(sort_array(collect_list(col("sent"))).as("hot"))
+    sents.crossJoin(broadcast(hot))
+      .select(col(idCol), col("sents"),
+        filter(col("sents"), s => !array_contains(col("hot"), s)).as("kept"))
+      .select(col(idCol),
+        size(col("sents")).as("n_sents"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+  }
 }

@@ -165,4 +165,15 @@ class DedupSpec extends SparkSpec {
     Dedup.semanticDedup(embs, k = 4, iters = 1, tau = 0.95)
       .select("vec_id").as[Long].collect().toSet shouldBe kept
   }
+
+  "clusterRepresentatives" should "pick the highest-quality member, id on ties" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val quality = Seq( // cluster 1: doc 3 wins on quality (NOT min id);
+      1L -> 0.2, 2L -> 0.5, 3L -> 0.9, // cluster 10: tie -> lower id wins
+      10L -> 0.7, 11L -> 0.7).toDF("doc_id", "q")
+    val got = Dedup.clusterRepresentatives(Dedup.clusters(pairs), quality)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    got(1L) shouldBe ((1L, 3L, 0.9, 3L))
+    got(10L) shouldBe ((10L, 10L, 0.7, 2L))
+  }
 }

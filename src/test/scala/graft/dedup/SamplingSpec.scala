@@ -338,4 +338,30 @@ class SamplingSpec extends SparkSpec {
     Sampling.contrastiveTriples(tiny, "doc_id", Seq((0L, 1L)).toDF("id1", "id2"))
       .count() shouldBe 0
   }
+
+  "weightedSample" should "pick exactly k per stratum, favoring heavy rows" in {
+    // 1000 rows over 10 strata; half weight 5, half weight 1 — weight
+    // keyed on i/10 so every stratum (i % 10) mixes both weights evenly
+    val base = (0L until 1000L)
+      .map(i => (i, i % 10, if ((i / 10) % 2 == 0) 5 else 1))
+      .toDF("doc_id", "shard", "w")
+    val got = Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 4)
+      .as[(Long, Long, Int, String)].collect()
+    got.length shouldBe 40
+    got.groupBy(_._2).values.foreach(_.length shouldBe 4)
+    // E-S property: weight-5 rows should take ~5/6 of the slots; with 40
+    // draws the weight-5 share is overwhelmingly above half
+    got.count(_._3 == 5) should be > 25
+    // deterministic: same input, same selected ids
+    Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 4)
+      .select("doc_id").as[Long].collect().toSet shouldBe got.map(_._1).toSet
+  }
+
+  it should "never select non-positive-weight rows and reject bad k" in {
+    val base = Seq((1L, 0L, 0), (2L, 0L, -3), (3L, 0L, 1)).toDF("doc_id", "shard", "w")
+    Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 3)
+      .select("doc_id").as[Long].collect() shouldBe Array(3L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 0)
+  }
 }

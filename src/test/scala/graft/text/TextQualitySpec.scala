@@ -83,4 +83,43 @@ class TextQualitySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextQuality.overlapPairs(fps, minShared = 0)
   }
+
+  "removeBoilerplate" should "strip sentences above the df threshold, exactly" in {
+    // "Footer" in docs 1,2,3 (df 3 > 2: hot); "Rare" in 1,2 (df 2 == maxDf:
+    // SURVIVES — the boundary); within-doc repeat of a surviving sentence
+    // is kept (that's firstOccurrences' job, not this op's)
+    val base = docs(
+      (1L, "Alpha one. Footer. Rare."),
+      (2L, "Beta two. Rare. Beta two. Footer."),
+      (3L, "Gamma three! Footer."),
+      (4L, "Delta four?"))
+    val out = TextQuality.removeBoilerplate(base, maxDf = 2)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    out(1L)._2 shouldBe 3
+    out(1L)._3 shouldBe 2 // "Alpha one", "Rare"
+    out(2L)._3 shouldBe 3 // "Beta two", "Rare", "Beta two" (repeat kept)
+    out(3L)._3 shouldBe 1
+    out(4L)._3 shouldBe 1
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out(1L)._4 shouldBe md5("Alpha one Rare")
+    out(2L)._4 shouldBe md5("Beta two Rare Beta two")
+
+    // a doc whose every sentence is hot keeps nothing but stays a row
+    val all = TextQuality.removeBoilerplate(
+      docs((1L to 5L).map(i => i -> "Same thing."): _*), maxDf = 2)
+      .as[(Long, Int, Int, String)].collect()
+    all.length shouldBe 5
+    all.foreach { r => r._3 shouldBe 0; r._4 shouldBe md5("") }
+  }
+
+  it should "keep the document stream shuffle-free" in {
+    // every Exchange in the plan belongs to the hot-set branch (sentence
+    // key agg + singleton collapse + its broadcast); the document branch
+    // filters arrays map-side. 2 shuffle exchanges total pins that.
+    val base = docs((1L, "A. B."), (2L, "B. C."))
+    val plan = TextQuality.removeBoilerplate(base, maxDf = 1)
+      .queryExecution.executedPlan.toString
+    "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(plan).size shouldBe 2
+  }
 }
