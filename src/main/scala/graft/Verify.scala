@@ -19,7 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY: comma-separated names — dump a subset during
+    // development (same contract as SPARK_GRAFT_BENCH_ONLY); unknown
+    // names fail loudly rather than silently verifying nothing.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"GRAFT_VERIFY_ONLY unknown queries: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries.filter(kv => only.forall(_(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

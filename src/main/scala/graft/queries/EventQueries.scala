@@ -461,7 +461,66 @@ object EventQueries {
         col("n"), col("total_value"))
   }
 
+  /** Time-series gap fill with linear interpolation — the
+    * regularize-before-modeling step: per user, the hourly value series
+    * gains a row for every missing hour between consecutive present
+    * hours, carrying the linearly interpolated value and a filled flag.
+    *
+    * The scalable shape is lead + bounded explode, NOT a calendar
+    * cross-join: each present row generates only its own gap's hours
+    * (`sequence(hour, next_hour − 1)`), so fan-out is the user's actual
+    * gap length, there is no corpus-wide hour spine to join, and the one
+    * shuffle is the (user_id, hour) pre-aggregation the window then
+    * reuses. Gaps longer than `maxGap` hours are left unfilled (the
+    * boundary rows stay) — the fan-out bound that keeps a years-dormant
+    * user from exploding into thousands of rows; both engines replay the
+    * same cap. Interpolation arithmetic is the identical IEEE expression
+    * tree in both engines (exact hourly sums via decimal, then one
+    * divide-multiply-add), so filled values are bit-identical.
+    */
+  val gapFill: Q = {
+    val maxGap = 48L
+    Q(
+      "e17_gap_fill",
+      s"""WITH hourly AS (
+         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+         |    CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |nexted AS (
+         |  SELECT user_id, hour, v,
+         |    lead(hour) OVER (PARTITION BY user_id ORDER BY hour) AS nh,
+         |    lead(v) OVER (PARTITION BY user_id ORDER BY hour) AS nv
+         |  FROM hourly)
+         |SELECT user_id, h AS hour,
+         |  CASE WHEN h = hour THEN v
+         |       ELSE v + (nv - v) * (CAST(h - hour AS DOUBLE) / CAST(nh - hour AS DOUBLE))
+         |  END AS v,
+         |  CAST(CASE WHEN h = hour THEN 0 ELSE 1 END AS BIGINT) AS filled
+         |FROM (
+         |  SELECT user_id, hour, v, nh, nv,
+         |    unnest(CASE WHEN nh IS NULL OR nh - hour > $maxGap
+         |                THEN [hour] ELSE range(hour, nh) END) AS h
+         |  FROM nexted)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      events(s, dir)
+        .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hour"))
+        .agg(decSum(col("value")).as("v"))
+        .withColumn("nh", lead(col("hour"), 1).over(w))
+        .withColumn("nv", lead(col("v"), 1).over(w))
+        .withColumn("h",
+          explode(when(col("nh").isNull || col("nh") - col("hour") > maxGap,
+            array(col("hour")))
+            .otherwise(sequence(col("hour"), col("nh") - 1))))
+        .select(col("user_id"), col("h").as("hour"),
+          when(col("h") === col("hour"), col("v"))
+            .otherwise(col("v") + (col("nv") - col("v")) *
+              ((col("h") - col("hour")).cast("double") /
+                (col("nh") - col("hour")).cast("double"))).as("v"),
+          when(col("h") === col("hour"), 0L).otherwise(1L).as("filled"))
+    }
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
     pivotCounts, unpivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
-    funnel, cohortRetention, scd2Dimension, hoppingAgg)
+    funnel, cohortRetention, scd2Dimension, hoppingAgg, gapFill)
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.graph.Graph
+import graft.queries.Q.t
+
+/** Graph primitives over edge lists derived from the testdata tables —
+  * triangle enumeration on the exact-duplicate graph and fixed-point
+  * PageRank on the customer–nation affiliation graph. Cluster resolution
+  * (connected components) is oracle-checked separately as d7/d12.
+  */
+object GraphQueries {
+
+  /** documents ∪ two exact copies of every 20th doc (ids +1e6, +2e6):
+    * each planted group is a 3-clique in the exact-duplicate graph, so
+    * triangle output is non-trivial and predictable at every scale
+    * factor.
+    */
+  private val tripledSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      |UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  /** Triangle enumeration (Graph.triangles — degree-oriented wedge join,
+    * the Suri–Vassilvitskii shape whose wedge volume is O(m^{3/2})
+    * regardless of degree skew) over the exact-duplicate graph of the
+    * tripled corpus. The oracle builds the same edge list relationally
+    * and closes wedges with the naive 3-way join that is safe at oracle
+    * scale; the Spark side must produce the identical triangle set via
+    * the orientation — which is the claim: orientation changes the
+    * worst-case bound, never the answer.
+    */
+  val triangleCount: Q = Q(
+    "g1_triangles",
+    s"""WITH c AS ($tripledSql),
+       |e AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM c a JOIN c b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+       |SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tripled = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    // exact-dup edges: join ids on content hash, never text payloads
+    val hashed = tripled.select(col("doc_id"), md5(col("text")).as("h"))
+    val edges = hashed.as("a")
+      .join(hashed.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    Graph.triangles(edges)
+  }
+
+  /** Fixed-point PageRank (Graph.pageRank, 3 iterations, scale 10⁶) on
+    * the undirected customer–nation graph: nation hubs (customers-per-
+    * nation in-degree, growing with sf) accumulate rank from their
+    * members, customers keep near-minimum rank. The oracle unrolls the
+    * same three integer-arithmetic iterations as CTE layers — bit-exact
+    * agreement is only possible because every step is integral (see
+    * Graph.pageRank's scaladoc); node ids place nations at
+    * 10⁹ + nationkey to keep the id spaces disjoint.
+    */
+  val pageRankQ: Q = {
+    val scale = 1000000L
+    val iterSql = (r: String, out: String) =>
+      s"""$out AS (
+         |  SELECT d.dst AS node,
+         |    (15 * $scale + 85 * sum(r.rank // a.deg)) // 100 AS rank
+         |  FROM d JOIN deg a ON d.src = a.node JOIN $r r ON d.src = r.node
+         |  GROUP BY d.dst)""".stripMargin
+    Q(
+      "g2_pagerank",
+      s"""WITH e AS (
+         |  SELECT c_custkey AS src, 1000000000 + c_nationkey AS dst FROM customer),
+         |d AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src),
+         |r0 AS (SELECT node, $scale AS rank FROM deg),
+         |${iterSql("r0", "r1")},
+         |${iterSql("r1", "r2")},
+         |${iterSql("r2", "r3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "customer")
+        .select(col("c_custkey").as("src"),
+          (lit(1000000000L) + col("c_nationkey")).as("dst"))
+      Graph.pageRank(edges, iterations = 3, scale = scale)
+    }
+  }
+
+  val all: Seq[Q] = Seq(triangleCount, pageRankQ)
+}

@@ -8,5 +8,5 @@ package graft.queries
 object QueryRegistry {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ MultimodalQueries.all
+      EventQueries.all ++ MultimodalQueries.all ++ GraphQueries.all
 }

@@ -863,6 +863,32 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Bloom-pre-filtered semi join (Sketches.bloomSemiJoin): the build
+    * side (customers with an urgent order) collapses into ONE broadcast
+    * bit-array row and the probe stream drops non-members map-side
+    * before any shuffle; the exact semi join then runs on the surviving
+    * sliver. The plain-EXISTS oracle verifying identical output IS the
+    * operator's claim — bloom probes have no false negatives and the
+    * verify join removes the false positives, so the pre-filter changes
+    * shuffled volume, never the answer. This is Spark's runtime-filter
+    * pattern as a first-class operator for the places the optimizer's
+    * injection heuristics don't reach.
+    */
+  val bloomSemiJoin: Q = Q(
+    "j13_bloom_semi_join",
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    graft.functions.Sketches.bloomSemiJoin(
+      t(s, dir, "customer"), col("c_custkey"),
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"), col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("key_sum"))
+  }
+
   val zorderKey: Q = {
     val bits = 8
     val interleave = (0 until bits).map(k =>
@@ -894,5 +920,5 @@ object RelationalQueries {
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, editDistance, groupingSets, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs, saltedCount, saltedJoin, rankFuncs, zorderKey)
+    statsAggs, saltedCount, saltedJoin, rankFuncs, zorderKey, bloomSemiJoin)
 }

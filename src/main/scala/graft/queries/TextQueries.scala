@@ -1588,6 +1588,38 @@ object TextQueries {
     }
   }
 
+  /** Sketch-pruned exact heavy hitters (Sketches.heavyHitters): frequent
+    * n-grams — keys taking ≥ 1/128 of the mixed 1-gram + 3-gram stream
+    * (the frequent-n-gram inventory boilerplate/quality filters consume;
+    * at sf0.01 that's 30 heavy unigrams over a ~16k-key trigram tail).
+    * The count-min row upper-bounds every key's count, so the map-side
+    * prune (estimate·128 ≥ total) never drops a true heavy hitter; the
+    * exact count pass then removes the sketch's false positives — output
+    * is exact and all threshold arithmetic is integral, which is what
+    * the plain GROUP BY/HAVING oracle verifies. At corpus scale this
+    * finds the hot few without shuffling the trillions-of-distinct-keys
+    * long tail the oracle's shape would.
+    */
+  val heavyHitters: Q = Q(
+    "x35_heavy_hitters",
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS key
+       |  FROM documents),
+       |sh AS (SELECT shingle AS key FROM (${shinglesSql.replace("__CORPUS__", "documents")})),
+       |allk AS (SELECT key FROM tok UNION ALL SELECT key FROM sh),
+       |tot AS (SELECT count(*) AS total FROM allk)
+       |SELECT key, count(*) AS cnt
+       |FROM allk CROSS JOIN tot
+       |GROUP BY key, total
+       |HAVING count(*) * 128 >= total""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(
+      explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("key"))
+    val grams = Dedup.shingles(docs).select(col("shingle").as("key"))
+    graft.functions.Sketches.heavyHitters(
+      toks.unionByName(grams), col("key"), denom = 128L)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, dedupClusters, clusterReps,
@@ -1601,5 +1633,6 @@ object TextQueries {
     mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
-    ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample)
+    ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
+    heavyHitters)
 }
