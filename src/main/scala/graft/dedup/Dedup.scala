@@ -448,4 +448,56 @@ object Dedup {
       .filter(jac >= minJaccard)
       .select(col("doc1"), col("doc2"), jac.as("jaccard"))
   }
+
+  /** Exact duplicate SPANS across documents — the exact-substring dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), relationally: every length-`k` token window is
+    * hashed at every position, positions sharing a hash across two
+    * documents become match points, and runs of consecutive match
+    * points along a (doc1, doc2, pos1−pos2) diagonal merge into maximal
+    * spans (start1, start2, span_tokens). Unlike the winnowed
+    * fingerprints (x21/x22) this reports EXACT maximal overlap extents,
+    * the evidence needed to actually cut the span out of one copy.
+    *
+    * Scale shape: the position index is map-side (n−k+1 hashes per doc,
+    * 16-byte prefix of md5 — never the token payload), corpus-hot
+    * windows (license headers, boilerplate) are dropped by the same
+    * broadcast-anti-join df cap as [[jaccardPairs]] — the quadratic
+    * guard — and the diagonal run-merge is a per-(pair, diagonal)
+    * gaps-and-islands window, keyed far finer than any corpus-wide
+    * partition. Nothing materializes N²: candidate volume is bounded by
+    * df-capped hash collisions exactly like every pair generator here.
+    */
+  def exactDupSpans(docs: DataFrame, k: Int = 20, maxWindowDf: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    // w is a projected attribute, so the per-position slice is a cheap
+    // array view, not a re-split (the shingles() house rule)
+    val positions = words
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        substring(md5(array_join(slice(col("w"), col("pos"), lit(k)), " ")), 1, 16).as("h"))
+    val hot = positions.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxWindowDf)
+      .select(col("h"))
+    val idx = positions.join(broadcast(hot), Seq("h"), "left_anti")
+    val matches = idx.select(col("h"), col("doc_id").as("doc1"), col("pos").as("pos1"))
+      .join(idx.select(col("h"), col("doc_id").as("doc2"), col("pos").as("pos2")), Seq("h"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("pos1"), col("pos2"))
+    val diag = Window.partitionBy(col("doc1"), col("doc2"), col("d"))
+      .orderBy(col("pos1"))
+    matches
+      .withColumn("d", col("pos1") - col("pos2"))
+      .withColumn("island", col("pos1") - row_number().over(diag))
+      .groupBy(col("doc1"), col("doc2"), col("d"), col("island"))
+      .agg(min(col("pos1")).as("start1"), min(col("pos2")).as("start2"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .select(col("doc1"), col("doc2"), col("start1"), col("start2"), col("span_tokens"))
+  }
 }

@@ -520,7 +520,49 @@ object EventQueries {
     }
   }
 
+  /** Rolling z-score anomaly signal: each event's value scored against
+    * the mean/stddev of the SAME user's previous 10 events (a bounded
+    * ROWS frame — state per key is O(frame), the streaming-compatible
+    * shape, never a growing window). Cross-engine exactness comes from
+    * the decimal-sum discipline: Σv and Σv² accumulate as DECIMAL(30,10)
+    * (order-independent), and the variance/z arithmetic is the identical
+    * IEEE expression tree in both engines. Events with fewer than 2
+    * predecessors or zero variance get z = NULL rather than a division
+    * artifact.
+    */
+  val rollingZscore: Q = Q(
+    "e18_rolling_zscore",
+    """WITH framed AS (
+      |  SELECT event_id, user_id, value,
+      |    count(*) OVER w AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS s2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, value,
+      |  CASE WHEN n >= 2 AND s2 / n - (s / n) * (s / n) > 0
+      |       THEN (value - s / n) / sqrt(s2 / n - (s / n) * (s / n))
+      |  END AS z
+      |FROM framed""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      .rowsBetween(-10, -1)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), tsMicros.as("tu"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s",
+        sum(col("value").cast("decimal(30,10)")).over(w).cast("double"))
+      .withColumn("s2",
+        sum((col("value") * col("value")).cast("decimal(30,10)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("n") >= 2 &&
+          col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")) > 0,
+          (col("value") - col("s") / col("n")) /
+            sqrt(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))))
+          .as("z"))
+  }
+
   val all: Seq[Q] = Seq(hourlyAgg, sessionize, jsonProps, lagDeltas, ewmaDecay,
     pivotCounts, unpivotCounts, rollupCounts, fromJsonTyped, mapOps, asofJoin, rangeJoinBucketed,
-    funnel, cohortRetention, scd2Dimension, hoppingAgg, gapFill)
+    funnel, cohortRetention, scd2Dimension, hoppingAgg, gapFill, rollingZscore)
 }

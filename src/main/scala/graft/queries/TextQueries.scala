@@ -1620,6 +1620,39 @@ object TextQueries {
       toks.unionByName(grams), col("key"), denom = 128L)
   }
 
+  /** Exact duplicate spans (Dedup.exactDupSpans — the Lee et al. 2022
+    * exact-substring dedup): every 20-token window hashed at every
+    * position, cross-doc hash matches merged along (pair, diagonal)
+    * runs into maximal spans. On the planted corpus each 10th doc and
+    * its "xx "-prefixed copy share their full token stream, so the
+    * expected output is one maximal span per planted pair at diagonal
+    * −1 covering the whole original — which the oracle reproduces with
+    * the identical position/hash/island arithmetic.
+    */
+  val exactDupSpans: Q = Q(
+    "x36_exact_dup_spans",
+    s"""WITH c AS ($corpusSql),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    substr(md5(array_to_string(w[i:i+19], ' ')), 1, 16) AS h
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+       |        FROM wt WHERE len(w) >= 20)),
+       |hot AS (SELECT h FROM (
+       |  SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY h) WHERE df > 10),
+       |idx AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.pos AS pos1, b.pos AS pos2
+       |      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc1, doc2, pos1 - pos2 AS d, pos1, pos2,
+       |        pos1 - row_number() OVER (PARTITION BY doc1, doc2, pos1 - pos2
+       |                                  ORDER BY pos1) AS island
+       |        FROM m)
+       |SELECT doc1, doc2, min(pos1) AS start1, min(pos2) AS start2,
+       |  count(*) + 19 AS span_tokens
+       |FROM isl GROUP BY doc1, doc2, d, island""".stripMargin) { (s, dir) =>
+    Dedup.exactDupSpans(corpus(s, dir), k = 20, maxWindowDf = 10)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, dedupClusters, clusterReps,
@@ -1634,5 +1667,5 @@ object TextQueries {
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
-    heavyHitters)
+    heavyHitters, exactDupSpans)
 }

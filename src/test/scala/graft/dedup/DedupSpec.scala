@@ -176,4 +176,34 @@ class DedupSpec extends SparkSpec {
     got(1L) shouldBe ((1L, 3L, 0.9, 3L))
     got(10L) shouldBe ((10L, 10L, 0.7, 2L))
   }
+
+  behavior of "exactDupSpans"
+
+  it should "report maximal spans, split them at single-token edits, and track diagonals" in {
+    val t60 = (1 to 60).map(i => s"t$i").mkString(" ")
+    val edited = (1 to 60).map(i => if (i == 30) "EDIT" else s"t$i").mkString(" ")
+    val spanDocs = Seq(
+      (1L, t60),                 // original
+      (2L, edited),              // same stream, token 30 changed
+      (3L, s"p0 p1 p2 $t60"),    // full copy at offset +3
+      (9L, "short doc below window length")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(spanDocs, k = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 1↔2: windows not covering position 30 → [1..10] and [31..41]
+    //   → spans (start 1, 29 tokens) and (start 31, 30 tokens)
+    // 1↔3: one maximal diagonal-(−3) span covering all 60 tokens
+    // 2↔3: the same two split spans, shifted by the prefix
+    got shouldBe Set(
+      (1L, 2L, 1L, 1L, 29L), (1L, 2L, 31L, 31L, 30L),
+      (1L, 3L, 1L, 4L, 60L),
+      (2L, 3L, 1L, 4L, 29L), (2L, 3L, 31L, 34L, 30L))
+  }
+
+  it should "drop corpus-hot windows via the df cap" in {
+    // the same 25-token text in 12 docs: every window's df = 12 > 10
+    val hot = (0L until 12L).map(i => (i, (1 to 25).map(w => s"h$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.exactDupSpans(hot, k = 20, maxWindowDf = 10).count() shouldBe 0L
+  }
 }
