@@ -129,6 +129,13 @@ object ScaleSoak {
     // boxed Long on purpose: with scala.Long the poll()-vs-null check
     // unboxes null to 0 and the drain loop never terminates
     val taskMillis = new ConcurrentLinkedQueue[java.lang.Long]
+    // GRAFT_SOAK_STAGE_DETAIL=1: per-SPARK-stage attribution — callsite,
+    // task count, summed/max task runtime, shuffle write, spill — the
+    // probe that names WHICH operator owns a hot task when the
+    // per-soak-stage aggregate only proves one exists.
+    val stageDetail = sys.env.get("GRAFT_SOAK_STAGE_DETAIL").contains("1")
+    val stageTask =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -137,10 +144,26 @@ object ScaleSoak {
           shuffleBytes.addAndGet(w)
           spillBytes.addAndGet(m.diskBytesSpilled)
           peakStageShuffle.updateAndGet(p => math.max(p, w))
+          if (stageDetail) {
+            val (n, sum, max) =
+              Option(stageTask.remove(sc.stageInfo.stageId)).getOrElse((0L, 0L, 0L))
+            System.err.println(
+              f"[stage] id=${sc.stageInfo.stageId}%-4d tasks=$n%-5d " +
+                f"sum=${sum / 1000}%-6d s max=${max / 1000.0}%-8.1f s " +
+                f"write=${w / 1e9}%-7.2f GB spill=${m.diskBytesSpilled / 1e9}%-7.2f GB " +
+                f"${sc.stageInfo.name}")
+          }
         }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) taskMillis.add(te.taskMetrics.executorRunTime)
+        if (te.taskMetrics != null) {
+          taskMillis.add(te.taskMetrics.executorRunTime)
+          if (stageDetail) {
+            val t = te.taskMetrics.executorRunTime
+            stageTask.merge(te.stageId, (1L, t, t),
+              (a, b) => (a._1 + 1, a._2 + t, math.max(a._3, t)))
+          }
+        }
     })
 
     def sink(df: DataFrame): Unit =

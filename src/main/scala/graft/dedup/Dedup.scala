@@ -423,7 +423,14 @@ object Dedup {
     // the cap costs one combinable agg plus a map-side hash probe —
     // no sort, no second index shuffle, no key-occupancy task
     // (SCALE.md "clean_corpus hot key", round 7).
-    val dist = shingles(docs).distinct()
+    // materialize the index ONCE: dist feeds three different downstream
+    // exchanges (the hot-set agg, the per-doc sizes agg, and the pair
+    // self-join), and without the cut each re-executes the full
+    // shingle-explode map lineage — the 10M stage-detail probe measured
+    // that redundancy at ~70% of clean_corpus's total CPU (SCALE.md
+    // "clean_corpus decomposition", round 7). Same discipline as
+    // semanticDedup's cells / clusters' iterations.
+    val dist = shingles(docs).distinct().localCheckpoint(false)
     val hot = dist.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
@@ -476,11 +483,15 @@ object Dedup {
       .filter(size(col("w")) >= k)
     // w is a projected attribute, so the per-position slice is a cheap
     // array view, not a re-split (the shingles() house rule)
+    // one materialization: positions feed the hot-set agg AND the pair
+    // self-join probe — without the cut both re-run the per-position
+    // md5 map pass (the jaccardPairs redundancy, measured in SCALE.md)
     val positions = words
       .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         substring(md5(array_join(slice(col("w"), col("pos"), lit(k)), " ")), 1, 16).as("h"))
+      .localCheckpoint(false)
     val hot = positions.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") > maxWindowDf)

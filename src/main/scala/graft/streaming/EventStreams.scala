@@ -26,6 +26,14 @@ final case class SessionSummary(user_id: Long, session_start: Timestamp,
   */
 final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
 
+final case class ScoredEvent(event_id: Long, user_id: Long, value: Double,
+    z: Option[Double])
+
+/** Per-user ring of the last ≤10 values for the streaming z-score —
+  * state is O(frame), independent of stream length.
+  */
+final case class ZScoreState(values: List[Double])
+
 object EventStreams {
 
   /** Tumbling 1-hour per-type counts/sums with a 2-hour watermark: late
@@ -104,6 +112,50 @@ object EventStreams {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Streaming rolling z-score — the incremental twin of the batch
+    * anomaly scorer (EventQueries.rollingZscore, q:e18): each event is
+    * scored against the mean/stddev of the SAME user's previous ≤10
+    * values, kept as a bounded ring in flatMapGroupsWithState state —
+    * O(frame) bytes per user forever, the property that makes a
+    * 100 TB/day keyed-anomaly stream feasible. Sums replay the batch
+    * twin's decimal(30,10) discipline exactly (each value rounded to
+    * 10 dp half-up, summed exactly, then the identical double
+    * mean/variance/z expression), so for in-order delivery the emitted
+    * scores are bit-identical to e18's — which the spec asserts against
+    * the batch query. Rows inside a batch are processed in
+    * (event-time, event_id) order; cross-batch reordering follows
+    * arrival, the usual stateful-streaming contract.
+    */
+  def rollingZscore(events: Dataset[Event], spark: SparkSession): Dataset[ScoredEvent] = {
+    import spark.implicits._
+    def dec(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(10, java.math.RoundingMode.HALF_UP)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZScoreState, ScoredEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ZScoreState]) =>
+          var ring = state.getOption.map(_.values).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val z =
+              if (ring.size >= 2) {
+                val n = ring.size
+                val s = ring.foldLeft(java.math.BigDecimal.ZERO)(
+                  (a, v) => a.add(dec(v))).doubleValue
+                val s2 = ring.foldLeft(java.math.BigDecimal.ZERO)(
+                  (a, v) => a.add(dec(v * v))).doubleValue
+                val variance = s2 / n - (s / n) * (s / n)
+                if (variance > 0) Some((e.value - s / n) / math.sqrt(variance)) else None
+              } else None
+            ring = (ring :+ e.value).takeRight(10)
+            ScoredEvent(e.event_id, userId, e.value, z)
+          }
+          state.update(ZScoreState(ring))
+          out.iterator
       }
   }
 

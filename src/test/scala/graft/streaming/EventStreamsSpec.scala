@@ -53,6 +53,36 @@ class EventStreamsSpec extends SparkSpec {
       (ts(-45), 1L, 1.0), (ts(-30), 1L, 1.0), (ts(-15), 1L, 1.0), (ts(0), 1L, 1.0))
   }
 
+  "rollingZscore" should "emit bit-identical scores to the batch twin for in-order batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 users × 30 interleaved events, deterministic wiggly values
+    val evs = (0 until 60).map { i =>
+      Event(i.toLong, ts(i.toLong), i % 2,
+        if (i % 3 == 0) "click" else "view", math.sin(i * 0.7) * 10 + i % 7)
+    }
+    // batch twin: write the same rows as an events table and run q:e18
+    val dir = java.nio.file.Files.createTempDirectory("zscore-events").toString
+    evs.toDF().withColumn("props", lit("""{"k":1}"""))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventQueries.rollingZscore.run(spark, dir)
+      .select(col("event_id"), col("z")).as[(Long, Option[Double])]
+      .collect().toMap
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.rollingZscore(input.toDS(), spark)
+      .writeStream.format("memory").queryName("zscores").outputMode("append").start()
+    evs.grouped(20).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("zscores")
+      .select(col("event_id"), col("z")).as[(Long, Option[Double])]
+      .collect().toMap
+
+    streamed.size shouldBe 60
+    streamed shouldBe batch
+    // sanity: scores actually exist once a user has ≥2 prior events
+    streamed.values.count(_.isDefined) should be > 50
+  }
+
   "sessionize (flatMapGroupsWithState)" should "close sessions on gap and emit summaries" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
