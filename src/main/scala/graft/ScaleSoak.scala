@@ -281,6 +281,34 @@ object ScaleSoak {
       graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50)
         .count()
     }
+    probed("clean_jaccard_ckpt") {
+      // the REFUTED index-materialization shape (round-7 A/B, paired
+      // with clean_jaccard): jaccardPairs' exact plan plus a
+      // localCheckpoint of the distinct shingle index. Hypothesis was
+      // that the three consumers re-execute the explode+md5 lineage;
+      // the 2.5M stage-detail A/B showed identical stage structure and
+      // shuffle bytes either way (exchange reuse already covers it)
+      // while the checkpoint cost 3× the task CPU (10,254 vs 3,505
+      // task-seconds) serializing the index to the block store and
+      // reading it back — see SCALE.md "clean_corpus decomposition"
+      val dist = graft.dedup.Dedup.shingles(corpus).distinct().localCheckpoint(false)
+      val hot = dist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("shingle"))
+      val sh = dist.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id"), col("n").as("na")),
+          col("doc1") === col("doc_id")).drop("doc_id")
+        .join(sizes.select(col("doc_id"), col("n").as("nb")),
+          col("doc2") === col("doc_id")).drop("doc_id")
+        .filter(jac >= 0.5).count()
+    }
     probed("clean_clusters") {
       graft.dedup.Dedup.clusters(
         graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50))

@@ -117,21 +117,23 @@ object Pq {
     * explode, so the partial agg reduces them map-side), then the usual
     * per-query top-k window. Zero-norm guard matches VectorOps.cosine.
     */
-  def adcTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, m: Int,
-      k: Int, topK: Int, iters: Int = 1): DataFrame = {
-    val sd = dim / m
-    val books = codebooks(embeddings, dim, m, k, iters)
-    val codes = encode(embeddings, books, dim, m)
-    val q = queries.select(col("vec_id").as("query_id"), toD(col("embedding")).as("qe"))
-    val lut = broadcast(
+  /** Per-query ADC lookup table: for every (query, sub, code), the
+    * query-subvector × codebook-entry inner product and the entry's
+    * squared norm — m·k rows per query, broadcast by construction.
+    */
+  private def adcLut(q: DataFrame, books: DataFrame, m: Int, sd: Int): DataFrame =
+    broadcast(
       subvectors(q.select(col("query_id").as("vec_id"), col("qe").as("e")), m, sd)
         .select(col("vec_id").as("query_id"), col("sub"), col("se").as("qs"))
         .join(books, Seq("sub"))
         .select(col("query_id"), col("sub"), col("cell").as("code"),
           VectorOps.dot(col("qs"), col("ce")).as("ip"),
           VectorOps.sumSq(col("ce")).as("csq")))
+
+  /** ADC partial sums → approximate cosine → per-query top-k. */
+  private def adcRank(scored0: DataFrame, q: DataFrame, topK: Int): DataFrame = {
     val qnorms = broadcast(q.select(col("query_id"), VectorOps.l2Norm(col("qe")).as("qn")))
-    val scored = codes.join(lut, Seq("sub", "code"))
+    val scored = scored0
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("ip")).as("aip"), sqrt(sum(col("csq"))).as("vn"))
       .join(qnorms, Seq("query_id"))
@@ -141,6 +143,57 @@ object Pq {
           .otherwise(col("aip") / (col("qn") * col("vn"))).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  def adcTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      k: Int, topK: Int, iters: Int = 1): DataFrame = {
+    val sd = dim / m
+    val books = codebooks(embeddings, dim, m, k, iters)
+    val codes = encode(embeddings, books, dim, m)
+    val q = queries.select(col("vec_id").as("query_id"), toD(col("embedding")).as("qe"))
+    adcRank(codes.join(adcLut(q, books, m, sd), Seq("sub", "code")), q, topK)
+  }
+
+  /** IVF-PQ search (the IVFADC layout of Jégou et al. §V, with shared
+    * global codebooks over raw vectors rather than per-cell residual
+    * encoding — the "IVF-Flat-PQ" variant; residual encoding is a
+    * recall refinement, not a different plan shape): a k-means coarse
+    * quantizer routes each query to its `nprobe` nearest cells, and ADC
+    * scores ONLY the code stream of those cells. This is the composition
+    * a billion-vector index actually runs — neither half suffices alone:
+    * IVF bounds WHICH vectors are scanned (nprobe/kCells of the corpus),
+    * PQ bounds the BYTES per scanned vector (m codes, never dim floats).
+    *
+    * 100 TB shape: codes ride with their cell key, so the probe is one
+    * equi-join on `cell` against the broadcast-sized routing table
+    * (|queries|·nprobe rows), then the broadcast ADC LUT join — the
+    * corpus-side stream is scanned once, pruned to the routed cells
+    * BEFORE any shuffle, and raw vectors are never read after indexing.
+    * The cell assignment feeds two consumers (centroid build and the
+    * code join) as plain shared lineage — exchange reuse dedupes the
+    * Lloyd chain within the action (the round-7 A/B showed a
+    * localCheckpoint on such multi-consumer lineage costs 3× the CPU
+    * for zero saved work; a REAL index would be a persisted table).
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      k: Int, kCells: Int, nprobe: Int, topK: Int, iters: Int = 1): DataFrame = {
+    val sd = dim / m
+    val cells = Ann.kmeansCells(embeddings, kCells, iters)
+    val cents = Ann.centroids(embeddings.join(cells, Seq("vec_id")), "cell")
+    val q = queries.select(col("vec_id").as("query_id"), toD(col("embedding")).as("qe"))
+    val wRoute = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val routed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        VectorOps.cosine(col("qe"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val books = codebooks(embeddings, dim, m, k, iters)
+    val codes = encode(embeddings, books, dim, m)
+    val probed = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(routed), Seq("cell"))
+      .join(adcLut(q, books, m, sd), Seq("query_id", "sub", "code"))
+    adcRank(probed, q, topK)
   }
 
   /** Two-stage PQ retrieval: ADC generates `coarseK` candidates per

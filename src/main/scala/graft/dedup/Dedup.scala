@@ -423,14 +423,20 @@ object Dedup {
     // the cap costs one combinable agg plus a map-side hash probe —
     // no sort, no second index shuffle, no key-occupancy task
     // (SCALE.md "clean_corpus hot key", round 7).
-    // materialize the index ONCE: dist feeds three different downstream
-    // exchanges (the hot-set agg, the per-doc sizes agg, and the pair
-    // self-join), and without the cut each re-executes the full
-    // shingle-explode map lineage — the 10M stage-detail probe measured
-    // that redundancy at ~70% of clean_corpus's total CPU (SCALE.md
-    // "clean_corpus decomposition", round 7). Same discipline as
-    // semanticDedup's cells / clusters' iterations.
-    val dist = shingles(docs).distinct().localCheckpoint(false)
+    // dist feeds three downstream consumers (the hot-set agg, the
+    // per-doc sizes agg, and the pair self-join) — and that is FINE
+    // as-is: within one action Spark reuses the distinct's exchange
+    // across all three (ReusedExchange), so the explode+md5 map lineage
+    // runs once. A localCheckpoint here was tried and REFUTED by the
+    // 2.5M stage-detail A/B (SCALE.md "clean_corpus decomposition",
+    // round 7): identical stage structure and shuffle bytes either way
+    // (proof no re-execution existed to cut), but the checkpoint paid
+    // 3× the task CPU serializing the 75M-row index into the block
+    // store and reading it back. localCheckpoint earns its cost only
+    // across ITERATED plans whose subtrees are not canonically equal
+    // (semanticDedup's Lloyd rounds, clusters' pointer doubling) —
+    // never for plain multi-consumer lineage in a single action.
+    val dist = shingles(docs).distinct()
     val hot = dist.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
@@ -482,16 +488,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
     // w is a projected attribute, so the per-position slice is a cheap
-    // array view, not a re-split (the shingles() house rule)
-    // one materialization: positions feed the hot-set agg AND the pair
-    // self-join probe — without the cut both re-run the per-position
-    // md5 map pass (the jaccardPairs redundancy, measured in SCALE.md)
+    // array view, not a re-split (the shingles() house rule).
+    // positions feeds both the hot-set agg and the pair self-join —
+    // no materialization needed: exchange reuse covers multi-consumer
+    // lineage within one action (see the jaccardPairs note; the
+    // localCheckpoint variant measured 3× the CPU for zero saved work)
     val positions = words
       .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         substring(md5(array_join(slice(col("w"), col("pos"), lit(k)), " ")), 1, 16).as("h"))
-      .localCheckpoint(false)
     val hot = positions.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") > maxWindowDf)

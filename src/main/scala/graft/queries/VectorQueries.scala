@@ -463,7 +463,85 @@ object VectorQueries {
     }
   }
 
+  /** IVF-PQ search (Pq.ivfAdcTopK): the IVFADC composition — a k-means
+    * coarse quantizer routes each query to its nprobe nearest cells and
+    * ADC scores ONLY those cells' code stream, so the scan cost is
+    * (nprobe/kCells) of the corpus × (m codes instead of dim floats).
+    * The oracle replays every stage: PQ codebooks/codes (the v10 chain),
+    * k-means cells (the v6 chain), post-assignment routing centroids,
+    * nprobe routing, and the cell-scoped ADC scoring.
+    */
+  val ivfPq: Q = {
+    val (dim, m, k, kCells, nprobe) = (64, 4, 16, 8, 2)
+    Q(
+      "v13_ivfpq",
+      s"""WITH ${pqSql(m, dim / m, k)},
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM raw WHERE vec_id < 5),
+         |cseeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS ce
+         |  FROM (SELECT vec_id, e FROM raw ORDER BY vec_id LIMIT $kCells)),
+         |cassign1 AS (SELECT vec_id, e, cell FROM (
+         |    SELECT r.vec_id, r.e, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY list_cosine_similarity(r.e, c.ce) DESC, c.cell) AS rn
+         |    FROM raw r CROSS JOIN cseeds c) WHERE rn = 1),
+         |ccomps AS (
+         |  SELECT cell, dim, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT cell, generate_subscripts(e, 1) AS dim, unnest(e) AS v FROM cassign1)
+         |  GROUP BY cell, dim),
+         |ccents AS (SELECT cell, list(centroid ORDER BY dim) AS ce FROM ccomps GROUP BY cell),
+         |cassign AS (SELECT vec_id, cell FROM (
+         |    SELECT r.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY list_cosine_similarity(r.e, c.ce) DESC, c.cell) AS rn
+         |    FROM raw r CROSS JOIN ccents c) WHERE rn = 1),
+         |rcomps AS (
+         |  SELECT cell, dim, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT a.cell, generate_subscripts(r.e, 1) AS dim, unnest(r.e) AS v
+         |        FROM raw r JOIN cassign a USING (vec_id))
+         |  GROUP BY cell, dim),
+         |rcents AS (SELECT cell, list(centroid ORDER BY dim) AS ce FROM rcomps GROUP BY cell),
+         |routed AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+         |    FROM q CROSS JOIN rcents c) WHERE rn <= $nprobe),
+         |qsubs AS (
+         |  SELECT query_id, CAST(sub AS INT) AS sub,
+         |    list_slice(qe, sub * ${dim / m} + 1, sub * ${dim / m} + ${dim / m}) AS qs
+         |  FROM (SELECT query_id, qe, unnest(range(0, $m)) AS sub FROM q)),
+         |lut AS (
+         |  SELECT query_id, sub, cell AS code,
+         |    list_dot_product(qs, ce) AS ip, list_dot_product(ce, ce) AS csq
+         |  FROM qsubs JOIN books USING (sub)),
+         |scored AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         |    sum(l.ip) AS aip, sqrt(sum(l.csq)) AS vn
+         |  FROM codes cd
+         |  JOIN cassign ca USING (vec_id)
+         |  JOIN routed r ON r.cell = ca.cell
+         |  JOIN lut l ON l.query_id = r.query_id AND l.sub = cd.sub AND l.code = cd.code
+         |  GROUP BY l.query_id, cd.vec_id),
+         |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qn FROM q)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      CASE WHEN q.qn * s.vn = 0 THEN 0.0 ELSE s.aip / (q.qn * s.vn) END AS sim
+         |    FROM scored s JOIN qn q USING (query_id)
+         |    WHERE s.query_id <> s.neighbor_id))
+         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 5), dim, m, k,
+          kCells = kCells, nprobe = nprobe, topK = 3, iters = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
     kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup,
-    pqCodes, pqAdcTopK, pqRerank)
+    pqCodes, pqAdcTopK, pqRerank, ivfPq)
 }

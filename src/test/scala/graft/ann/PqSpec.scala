@@ -91,4 +91,38 @@ class PqSpec extends SparkSpec {
     // aggregates' hash repartitions
     plan should not include "SortMergeJoin"
   }
+
+  "ivfAdcTopK" should "return only neighbors from the query's routed cells" in {
+    val queries = emb.filter(col("vec_id") < 5)
+    val (kCells, nprobe) = (8, 2)
+    val res = Pq.ivfAdcTopK(emb, queries, dim, m = 4, k = 16,
+      kCells = kCells, nprobe = nprobe, topK = 10).cache()
+    val cells = Ann.kmeansCells(emb, kCells, iters = 1)
+    val ok = res.join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    ok.count() shouldBe res.count() // every neighbor has a cell
+    res.count() should be > 0L
+    // ADC scores of routed members match the unrouted ADC scores for
+    // the same (query, neighbor) pairs — routing prunes, never rescores
+    val full = Pq.adcTopK(emb, queries, dim, m = 4, k = 16, topK = emb.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("fsim"))
+    val joined = res.join(full, Seq("query_id", "neighbor_id"))
+    joined.count() shouldBe res.count()
+    joined.filter(abs(col("sim") - col("fsim")) > 1e-12).count() shouldBe 0
+  }
+
+  it should "equal cell-restricted exact search in the exact-recovery limit" in {
+    // m=1, k=corpus: codes reconstruct vectors exactly, so IVF-PQ top-k
+    // must equal exact cosine search restricted to the routed cells
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val (kCells, nprobe) = (4, 4)
+    // nprobe = kCells routes every cell -> IVF-PQ degenerates to full ADC
+    val ivf = Pq.ivfAdcTopK(emb, queries, dim, m = 1, k = n,
+      kCells = kCells, nprobe = nprobe, topK = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val exact = Ann.bruteForceKnn(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    ivf.exceptAll(exact).count() shouldBe 0
+    ivf.count() shouldBe exact.count()
+  }
 }
