@@ -51,7 +51,19 @@ object ScaleSoak {
     * re-evaluates per element).
     */
   def documents(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).selectExpr(
+    documents(spark, n, spark.sparkContext.defaultParallelism)
+
+  /** `parts` controls the GENERATOR's input split count — the knob a
+    * real cluster turns automatically (a parquet scan yields ~128 MB
+    * splits, so per-task state stays bounded as the corpus grows, and
+    * executors scale the split count). local[k] fixes spark.range at k
+    * splits regardless of N, so per-task partial-aggregate state grows
+    * WITH the corpus — the mechanism behind the 10M stage-0 CPU
+    * superlinearity the round-7 probe isolated (see SCALE.md
+    * "clean_corpus decomposition").
+    */
+  def documents(spark: SparkSession, n: Long, parts: Int): DataFrame =
+    spark.range(0, n, 1, parts).selectExpr(
       "id as doc_id",
       // block leader's content for dup/near-dup rows, own id otherwise
       "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
@@ -77,7 +89,10 @@ object ScaleSoak {
     * block structure as the text) differ in one component.
     */
   def embeddings(spark: SparkSession, n: Long, dim: Int): DataFrame =
-    spark.range(n).selectExpr(
+    embeddings(spark, n, dim, spark.sparkContext.defaultParallelism)
+
+  def embeddings(spark: SparkSession, n: Long, dim: Int, parts: Int): DataFrame =
+    spark.range(0, n, 1, parts).selectExpr(
       "id as vec_id",
       "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
       "cast(id % 50 = 3 as boolean) as near")
@@ -169,8 +184,16 @@ object ScaleSoak {
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val corpus = documents(spark, docs)
-    val emb = embeddings(spark, vecs, dim)
+    // GRAFT_SOAK_INPUT_PARTS: generator input-split count (default =
+    // cores). A real corpus scan splits at ~128 MB regardless of total
+    // size, so per-task operator state is bounded; emulate that here by
+    // scaling splits with N instead of letting per-task partial-agg
+    // hash state grow into sort-fallback (the measured 10M stage-0 CPU
+    // superlinearity — SCALE.md "clean_corpus decomposition").
+    val inputParts = sys.env.get("GRAFT_SOAK_INPUT_PARTS").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val corpus = documents(spark, docs, inputParts)
+    val emb = embeddings(spark, vecs, dim, inputParts)
 
     // GRAFT_SOAK_STAGES: comma-separated stage names — run a subset (new
     // stages get their growth curves without re-running settled ones)

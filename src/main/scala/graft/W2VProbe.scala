@@ -33,7 +33,7 @@ object W2VProbe {
   def matches(spark: SparkSession, docs: Long, entities: Long) =
     spark.range(docs * 6).selectExpr(
       "cast(id div 6 + 1 as string) as pmid",
-      "element_at(array('Title','Abstract','Results'), cast(id % 6 div 2 as int) + 1) as section",
+      "element_at(array('title','abstract','results'), cast(id % 6 div 2 as int) + 1) as section",
       "if(id % 2 = 0, 'GP', 'DS') as type",
       s"""if(id % 2 = 0,
          |  concat('ENSG', lpad(cast(((id div 6) * 13 + id % 6) % $entities as string), 9, '0')),
