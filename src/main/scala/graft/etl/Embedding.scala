@@ -14,6 +14,13 @@ object Embedding {
     * the reference leaves the seed to Spark's default (nondeterministic
     * across runs); training here is reproducible by default.
     */
+  /** numPartitions: the reference pins 16; the round-7 isolated fit
+    * sweep (SCALE.md "Embedding") measured the optimum scaling with the
+    * corpus — ≈ cores at 7.5M bags, and 64 beating 16 by 1.4× at 30M
+    * bags. Size it ≈ max(cores, bags / 500k), but no higher than
+    * throughput requires: every extra partition is one more
+    * asynchronously averaged model replica (MLlib's accuracy caveat).
+    */
   final case class W2VConfig(
       windowSize: Int = 10,
       numPartitions: Int = 16,
