@@ -25,7 +25,10 @@ export SPARK_WORKER_CORES=$((EXECUTORS * EXEC_CORES))
 export SPARK_WORKER_MEMORY=${SPARK_WORKER_MEMORY:-100g}
 export SPARK_LOG_DIR=/tmp/spark-standalone-logs
 export SPARK_WORKER_DIR=/tmp/spark-standalone-work
-export SPARK_NO_DAEMONIZE=""
+# SPARK_NO_DAEMONIZE must stay UNSET: spark-daemon.sh treats
+# set-but-empty as "run in foreground", and start-master.sh then never
+# returns (the round-7 smoke hang)
+unset SPARK_NO_DAEMONIZE
 
 "$SPARK_HOME/sbin/stop-worker.sh" >/dev/null 2>&1 || true
 "$SPARK_HOME/sbin/stop-master.sh" >/dev/null 2>&1 || true
