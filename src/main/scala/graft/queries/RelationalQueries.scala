@@ -912,6 +912,32 @@ object RelationalQueries {
     }
   }
 
+  /** Bounded-heap top-k per group (functions.TopKAgg): top-3 customers
+    * by account balance per nation through the combinable k-bounded
+    * aggregator, so the map side reduces every partition to ≤ 3 rows per
+    * nation BEFORE the exchange — the oracle's window formulation (what
+    * a user would write naively) shuffles and sorts the whole table to
+    * keep 75 rows of it. Identical output is the aggregator's
+    * correctness claim; TopKAggSpec pins partitioning invariance and the
+    * ≤ k bound. Balances are compared raw (no arithmetic), custkey is
+    * the deterministic tiebreak, rank recovered from the sorted array
+    * position.
+    */
+  val topkAgg: Q = Q(
+    "a20_topk_agg",
+    """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKAgg.topK(3)(col("c_acctbal"), col("c_custkey")).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("c_nationkey"), (col("i") + 1).as("rnk"),
+        col("e.id").as("c_custkey"), col("e.score").as("c_acctbal"))
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, collectSorted, groupMinMax, countDistinctQ, distinctQ,
     keyedDedup, approxDistinct, trainingBags, runningSum, twoLevelMin, denseRankTop1,
@@ -920,5 +946,6 @@ object RelationalQueries {
     thetaSelfJoin, mergeFill, filterPredicates, caseCastCoalesce, structExpand,
     unionDistinct, intersectQ, exceptQ, intersectAllQ, exceptAllQ, editDistance, groupingSets, cubeCounts, orderByTopK, stringFuncs,
     dateFuncs, arrayFuncs, jsonFuncs, harmonicScore, leadNtile, percentiles,
-    statsAggs, saltedCount, saltedJoin, rankFuncs, zorderKey, bloomSemiJoin)
+    statsAggs, saltedCount, saltedJoin, rankFuncs, zorderKey, bloomSemiJoin,
+    topkAgg)
 }

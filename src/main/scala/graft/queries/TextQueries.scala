@@ -1653,6 +1653,55 @@ object TextQueries {
     Dedup.exactDupSpans(corpus(s, dir), k = 20, maxWindowDf = 10)
   }
 
+  /** Exact corpus quantiles via histogram rank selection (core.Stats):
+    * p50/p90/p99 of document length without a global sort — the corpus
+    * scan reduces map-side to a value histogram, the cumulative window
+    * runs over the bounded histogram only, and each quantile picks the
+    * smallest value whose running count reaches ceil(q·N). The oracle
+    * replays the identical histogram + running-sum + rank arithmetic
+    * (NOT quantile_disc, whose interpolation convention is the engine's
+    * choice); q·N is the same IEEE product on both sides so the rank
+    * boundary agrees exactly.
+    */
+  val exactQuantiles: Q = Q(
+    "x37_exact_quantiles",
+    """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+      |hc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      |SELECT q, min(v) AS value
+      |FROM qs, n, hc WHERE cum >= ceil(q * n) GROUP BY q""".stripMargin) { (s, dir) =>
+    graft.core.Stats.exactQuantiles(
+      t(s, dir, "documents"), col("n_chars"), Seq(0.5, 0.9, 0.99))
+  }
+
+  /** Exact phrase search over positional postings
+    * (TextSearch.phraseSearch): occurrence counts of the two-token
+    * phrase "batch batch" — a repeated-word phrase, so overlapping
+    * occurrences ("batch batch batch" contains it twice) exercise the
+    * anchor-vote semantics a substring counter would get wrong. The
+    * oracle rebuilds the same 1-based positional postings with
+    * generate_subscripts and replays the anchor arithmetic; the Spark
+    * side broadcasts the phrase table so only phrase-term postings
+    * survive to the shuffle.
+    */
+  val phraseSearch: Q = Q(
+    "x38_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |ph AS (SELECT * FROM (VALUES ('batch', 0), ('batch', 1)) AS p(term, idx)),
+      |anchors AS (
+      |  SELECT t.doc_id, t.pos - p.idx AS anchor
+      |  FROM toks t JOIN ph p USING (term)
+      |  GROUP BY 1, 2 HAVING count(DISTINCT p.idx) = 2)
+      |SELECT doc_id, count(*) AS n_matches FROM anchors GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      graft.text.TextSearch.phraseSearch(
+        t(s, dir, "documents"), Seq("batch", "batch"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, dedupClusters, clusterReps,
@@ -1667,5 +1716,5 @@ object TextQueries {
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
-    heavyHitters, exactDupSpans)
+    heavyHitters, exactDupSpans, exactQuantiles, phraseSearch)
 }

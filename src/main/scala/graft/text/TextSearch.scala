@@ -197,4 +197,40 @@ object TextSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Exact phrase occurrence counts via positional postings — the
+    * decontamination primitive BM25 can't express (bag-of-words scoring
+    * cannot distinguish "model train" from "train model", but a leaked
+    * benchmark prompt is a SEQUENCE).
+    *
+    * A token at position p matching phrase word i votes for anchor
+    * p − i; an anchor collecting all |phrase| distinct vote indices is a
+    * complete occurrence (correct even when the phrase repeats a word:
+    * index i's vote at anchor a exists iff the token at a + i matches
+    * phrase(i)). Occurrences may overlap — "w w w" contains "w w"
+    * twice — which substring-count oracles get wrong and the anchor
+    * count gets right; x38's oracle replays the same anchor arithmetic
+    * relationally.
+    *
+    * Scale shape: the phrase table is a broadcast of |phrase| rows, so
+    * the corpus token stream is filtered MAP-SIDE to postings of the
+    * phrase's terms before anything shuffles — the exchange carries only
+    * matched postings, never the tokenized corpus. Positions are 1-based
+    * over the raw single-space split (both engines index the same way).
+    * Returns (doc_id, n_matches) for documents with ≥ 1 occurrence.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val phraseDf = docs.sparkSession
+      .createDataFrame(phrase.zipWithIndex).toDF("term", "idx")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .join(broadcast(phraseDf), Seq("term"))
+      .groupBy(col("doc_id"), (col("pos0") + 1 - col("idx")).as("anchor"))
+      .agg(countDistinct(col("idx")).as("hits"))
+      .filter(col("hits") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: lower discrete quantile by direct sort — smallest value
+    * at 1-based rank ceil(q·n) of the sorted sample.
+    */
+  private def ref(values: Seq[Long], q: Double): Long =
+    values.sorted.apply(math.ceil(q * values.size).toInt - 1)
+
+  "Stats.exactQuantiles" should "match sorted-rank selection, duplicates included" in {
+    val values = Seq[Long](5, 1, 9, 1, 7, 7, 7, 3, 2, 8, 10, 4)
+    val got = Stats.exactQuantiles(values.toDF("v"), col("v"), Seq(0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      0.25 -> ref(values, 0.25), 0.5 -> ref(values, 0.5),
+      0.9 -> ref(values, 0.9), 1.0 -> values.max)
+  }
+
+  it should "be exact on a skewed distribution where approx_percentile may drift" in {
+    // 10k rows, 99% at value 1, tail spread over 100 values
+    val df = spark.range(10000)
+      .select((when(col("id") < 9900, lit(1L)).otherwise(col("id") % 100 + 100)).as("v"))
+    val got = Stats.exactQuantiles(df, col("v"), Seq(0.5, 0.99, 0.995))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val values = df.collect().map(_.getLong(0)).toSeq
+    got(0.5) shouldBe ref(values, 0.5)
+    got(0.99) shouldBe ref(values, 0.99)
+    got(0.995) shouldBe ref(values, 0.995)
+  }
+
+  it should "reject out-of-range quantiles" in {
+    an[IllegalArgumentException] should be thrownBy
+      Stats.exactQuantiles(Seq(1L).toDF("v"), col("v"), Seq(0.0))
+  }
+}

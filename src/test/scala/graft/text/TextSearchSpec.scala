@@ -107,4 +107,35 @@ class TextSearchSpec extends SparkSpec {
     // equal-rank lex/vec docs tie on rrf — doc_id breaks the tie
     fused.orderBy("rank").select("doc_id").as[Long].collect() shouldBe Array(1L, 101L, 2L)
   }
+
+  "phraseSearch" should "count overlapping occurrences of repeated-word phrases" in {
+    val corpus = Seq(
+      (1L, "w w w end"),                // "w w" at anchors 1 and 2 — overlap
+      (2L, "a w b w w"),                // one occurrence
+      (3L, "w b w b w"),                // words present, never adjacent
+      (4L, "start w w middle w w end")) // two disjoint occurrences
+      .toDF("doc_id", "text")
+    val got = TextSearch.phraseSearch(corpus, Seq("w", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 2L -> 1L, 4L -> 2L) // doc 3 absent, not zero
+  }
+
+  it should "require the full sequence in order" in {
+    val corpus = Seq(
+      (1L, "train model on data"),
+      (2L, "model train departs now"),
+      (3L, "we train model and train model again")).toDF("doc_id", "text")
+    val got = TextSearch.phraseSearch(corpus, Seq("train", "model"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 3L -> 2L) // doc 2 has the reversed bigram only
+  }
+
+  it should "handle phrases longer than two tokens" in {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "quick brown dog quick brown fox")).toDF("doc_id", "text")
+    val got = TextSearch.phraseSearch(corpus, Seq("quick", "brown", "fox"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L)
+  }
 }
