@@ -227,8 +227,13 @@ object TextSearch {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
       .join(broadcast(phraseDf), Seq("term"))
+      // one row per (doc, anchor, idx) by construction — the token at
+      // position anchor + idx either matches phrase(idx) or produced no
+      // row — so count(*) equals count(DISTINCT idx) without the
+      // distinct aggregate's extra expand/exchange phase (the oracle
+      // keeps the DISTINCT form as an independent derivation)
       .groupBy(col("doc_id"), (col("pos0") + 1 - col("idx")).as("anchor"))
-      .agg(countDistinct(col("idx")).as("hits"))
+      .agg(count(lit(1)).as("hits"))
       .filter(col("hits") === phrase.length)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
