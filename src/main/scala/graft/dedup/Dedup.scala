@@ -403,6 +403,46 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
+    val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+    cappedShingleIntersections(docs, maxShingleDf)
+      .filter(jac >= minJaccard)
+      .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+  }
+
+  /** Directed n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over the
+    * same capped shingle universe as [[jaccardPairs]]. Containment is
+    * the asymmetric near-dup measure Jaccard cannot see: an excerpt
+    * fully embedded in a much longer document scores containment ≈ 1
+    * while its Jaccard ≈ |excerpt|/|doc| ≈ 0 — the quote / boilerplate
+    * / subset-page relationship a training-data pipeline must catch
+    * (Broder 1997's "containment" resemblance twin). Output is one row
+    * per unordered pair (doc1 < doc2) with both capped set sizes, the
+    * intersection, and the containment of the SMALLER set, filtered at
+    * `minContainment`.
+    *
+    * Scale shape is identical to [[jaccardPairs]] — one capped shingle
+    * inverted index, equi-join on the shingle key, never N² pairs.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.9,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val cont = col("n_inter").cast("double") / least(col("na"), col("nb"))
+    cappedShingleIntersections(docs, maxShingleDf)
+      .filter(cont >= minContainment)
+      .select(col("doc1"), col("doc2"), col("na"), col("nb"),
+        col("n_inter"), cont.as("containment"))
+  }
+
+  /** Shared core of [[jaccardPairs]] / [[containmentPairs]]: per-pair
+    * shingle-set intersection counts with both set sizes, over the
+    * DF-capped shingle universe — (doc1, doc2, na, nb, n_inter) with
+    * doc1 < doc2. Sizes and intersections are computed over the SAME
+    * capped universe, so any set measure derived from them is
+    * self-consistent (equals the true n-gram measure whenever no shared
+    * shingle is corpus-hot, loses only pairs whose sole evidence is
+    * stop-phrases).
+    */
+  private def cappedShingleIntersections(docs: DataFrame,
+      maxShingleDf: Int): DataFrame = {
     // df via groupBy + EXPLICITLY BROADCAST anti-join of the OVER-CAP
     // set, not a whole-partition window: a window must materialize each
     // shingle's rows in one task, so one corpus-hot shingle (boilerplate
@@ -449,7 +489,6 @@ object Dedup {
       .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("n_inter"))
-    val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
     // no broadcast hint on sizes: it is one row per document — tiny at
     // test scale, but far beyond broadcast range on a real corpus. AQE
     // promotes it to broadcast when it actually fits.
@@ -458,8 +497,6 @@ object Dedup {
         col("doc1") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n").as("nb")),
         col("doc2") === col("doc_id")).drop("doc_id")
-      .filter(jac >= minJaccard)
-      .select(col("doc1"), col("doc2"), jac.as("jaccard"))
   }
 
   /** Exact duplicate SPANS across documents — the exact-substring dedup

@@ -246,6 +246,49 @@ object TextQueries {
     }
   }
 
+  /** Directed n-gram containment pairs (Dedup.containmentPairs):
+    * |A∩B| / min(|A|,|B|) over the d5 capped shingle universe — the
+    * asymmetric near-dup measure that catches an excerpt embedded in a
+    * longer document (containment ≈ 1) where Jaccard ≈ 0. Fixture
+    * plants a 12-word excerpt doc (id+2000000) for every 20th document;
+    * the oracle rebuilds the identical capped index relationally.
+    */
+  val containmentPairs: Q = {
+    val maxDf = 50
+    Q(
+      "d12_containment_pairs",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, sa.n AS na, sb.n AS nb, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc1 = sa.doc_id
+         |JOIN sizes sb ON doc2 = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withExcerpts = d.unionByName(
+        d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ").as("text")))
+      Dedup.containmentPairs(withExcerpts, minContainment = 0.9, maxShingleDf = maxDf)
+        .select(col("doc1"), col("doc2"), col("na"), col("nb"), col("n_inter"),
+          round(col("containment"), 6).as("containment"))
+    }
+  }
+
   /** Duplicate-cluster resolution (Dedup.clusters): n-gram-Jaccard
     * candidate pairs resolved to canonical components by min-label
     * propagation; the oracle computes the same components with a
@@ -1704,7 +1747,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    simhashPairsComb, ngramJaccardPairs, dedupClusters, clusterReps,
+    simhashPairsComb, ngramJaccardPairs, containmentPairs, dedupClusters, clusterReps,
     embeddingNearDups,
     langId, qualityScore,
     tokenStats, fingerprint,

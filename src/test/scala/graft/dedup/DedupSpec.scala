@@ -36,6 +36,27 @@ class DedupSpec extends SparkSpec {
     pairs.size shouldBe 2
   }
 
+  "containmentPairs" should "catch an embedded excerpt that Jaccard misses" in {
+    // doc 200 = first 5 tokens of doc 7: every excerpt shingle appears in
+    // doc 7, so containment = 1.0, while jaccard = 3/10 stays far below
+    // any dedup threshold — the asymmetric case the operator exists for
+    val excerpt = docs.filter(col("doc_id") === 7)
+      .select(lit(200L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("text"))
+    val corpus = docs.unionByName(excerpt)
+    val cont = Dedup.containmentPairs(corpus, minContainment = 0.9)
+      .select("doc1", "doc2", "containment").as[(Long, Long, Double)].collect().toSet
+    cont should contain((7L, 200L, 1.0))
+    // jaccard at the same threshold does NOT see the excerpt pair
+    val jac = Dedup.jaccardPairs(corpus, minJaccard = 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    jac should not contain ((7L, 200L))
+    // the exact dup scores containment 1.0; the one-word near-dup of
+    // doc 5 sits at 7/10 = 0.7 and is correctly below the 0.9 bar
+    cont.map(p => (p._1, p._2)) should contain((3L, 100L))
+    cont.map(p => (p._1, p._2)) should not contain ((5L, 101L))
+  }
+
   "minhash LSH" should "surface the exact duplicate as a full-match candidate" in {
     val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(docs))
       .filter(col("est_sim") === 1.0)
