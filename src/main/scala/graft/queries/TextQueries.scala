@@ -1289,6 +1289,43 @@ object TextQueries {
         col("rank"))
   }
 
+  /** All-pairs tf-idf cosine similarity (TextSearch.cosinePairs) over
+    * the d-series planted-dup corpus: term-keyed inverted-index
+    * self-join with an absolute df cap, ln-free idf weights, and
+    * term-ordered fold sums the oracle replays bit-for-bit. The planted
+    * `xx `-prefixed copies score cosine ≈ 1; token-disjoint docs never
+    * pair.
+    */
+  val cosinePairs: Q = {
+    val maxDf = 50
+    Q(
+      "x39_cosine_pairs",
+      s"""WITH corpus AS ($corpusSql),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+         |        FROM corpus)
+         |  GROUP BY doc_id, term),
+         |nn AS (SELECT count(*) AS n_docs FROM corpus),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= $maxDf),
+         |w AS (SELECT doc_id, term, CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) AS w
+         |      FROM tf JOIN dfreq USING (term), nn),
+         |norms AS (SELECT doc_id,
+         |    sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)), (a, b) -> a + b)) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |    list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.term)), (x, y) -> x + y) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dots
+         |JOIN norms na ON doc1 = na.doc_id
+         |JOIN norms nb ON doc2 = nb.doc_id
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.5""".stripMargin) { (s, dir) =>
+      graft.text.TextSearch.cosinePairs(corpus(s, dir), minCos = 0.5, maxDf = maxDf)
+        .select(col("doc1"), col("doc2"), round(col("cosine"), 6).as("cosine"))
+    }
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (TextSearch.rrfFuse):
     * the BM25 ranking (x14's exact CTE chain, k=20) and a brute-force
     * cosine ranking over the embeddings table (v1's formulation, k=20)
@@ -1755,7 +1792,7 @@ object TextQueries {
     boilerplateNgrams, cleanCorpus, chunking, splitLeakage,
     sequencePacking, sequencePackSpans, packedShards, shuffleOrder, tfidfTerms,
     tfidfCapped,
-    mixtureSample, temperatureSample, repetition, bm25, hybridRrf, piiRedact,
+    mixtureSample, temperatureSample, repetition, bm25, hybridRrf, cosinePairs, piiRedact,
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,

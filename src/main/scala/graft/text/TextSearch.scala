@@ -238,4 +238,63 @@ object TextSearch {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** All-pairs tf-idf cosine document similarity above `minCos` — the
+    * weighted-lexical near-dup / redundancy measure between the set
+    * measures (Dedup.jaccardPairs, containmentPairs) and the embedding
+    * side (Ann): two documents about the same topic score high even when
+    * their shared vocabulary is a small fraction of either text, because
+    * selective (low-df) terms dominate the weight mass (Bayardo et al.
+    * 2007, "Scaling Up All Pairs Similarity Search" — the inverted-index
+    * formulation).
+    *
+    * Determinism: weights use the ln-free idf `tf·(N+1)/(df+1)` (exact
+    * rational-in-double, see tfidfTopTerms), dots and squared norms are
+    * term-ordered left-to-right folds, and sqrt is correctly rounded by
+    * IEEE — so every engine computes bit-identical cosines.
+    *
+    * Scale shape: one (doc, term) tf aggregation; the df cap (`maxDf`,
+    * absolute — the jaccardPairs discipline) bounds the postings
+    * self-join at k² rows per term and removes exactly the terms whose
+    * idf weight is negligible anyway; norms are computed over the SAME
+    * capped universe so cosines stay self-consistent. Nothing
+    * materializes N² pairs.
+    */
+  def cosinePairs(docs: DataFrame, minCos: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val tf = termFreqs(docs).filter(col("term").isNotNull)
+    // metadata-cheap singleton, broadcast by the house rule
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // the under-cap df table does double duty: scale guard AND the idf
+    // denominator — one term-keyed join applies both (no separate
+    // anti-join needed, unlike jaccardPairs where df is not otherwise
+    // used)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weights = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1)).as("w"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sqrt(aggregate(
+        array_sort(collect_list(struct(col("term"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w") * x.getField("w"))).as("nrm"))
+    val a = weights.alias("a")
+    val b = weights.alias("b")
+    val dots = a
+      .join(b, col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.term").as("term"), (col("a.w") * col("b.w")).as("p"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"))
+    val cos = col("dot") / (col("nrm1") * col("nrm2"))
+    // norms join: one row per doc — AQE broadcasts when it fits, exactly
+    // the jaccardPairs sizes-join rationale
+    dots
+      .join(norms.select(col("doc_id").as("doc1"), col("nrm").as("nrm1")), Seq("doc1"))
+      .join(norms.select(col("doc_id").as("doc2"), col("nrm").as("nrm2")), Seq("doc2"))
+      .filter(cos >= minCos)
+      .select(col("doc1"), col("doc2"), cos.as("cosine"))
+  }
 }

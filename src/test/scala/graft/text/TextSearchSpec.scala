@@ -138,4 +138,30 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe Map(1L -> 1L, 2L -> 1L)
   }
+
+  "cosinePairs" should "pair topically similar docs and ignore shared stopwords" in {
+    // docs 1/3 share the selective terms quantum+black+holes → cosine
+    // ≈ 0.22; docs 2/5 share only "tomato" (≈ 0.13, below the bar);
+    // "the" (df 3) caps out, so stopword-only doc 4 shares nothing
+    val pairs = TextSearch.cosinePairs(docs, minCos = 0.2, maxDf = 2)
+      .select("doc1", "doc2", "cosine").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    pairs.keySet should contain((1L, 3L))
+    pairs((1L, 3L)) should be > 0.2
+    // every pair involving the stopword-only doc 4 is absent
+    pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L) shouldBe false
+    // cosine is bounded and symmetric-by-construction (doc1 < doc2)
+    pairs.values.foreach { c => c should be <= 1.0 + 1e-12 }
+    pairs.keySet.foreach { case (d1, d2) => d1 should be < d2 }
+  }
+
+  it should "score an exact duplicate at cosine 1" in {
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") === 1L)
+        .select(lit(99L).as("doc_id"), col("text")))
+    val pairs = TextSearch.cosinePairs(corpus, minCos = 0.9, maxDf = 10)
+      .select("doc1", "doc2", "cosine").as[(Long, Long, Double)].collect()
+    pairs.map(p => (p._1, p._2)) should contain((1L, 99L))
+    pairs.find(p => p._1 == 1L && p._2 == 99L).get._3 shouldBe 1.0 +- 1e-9
+  }
 }
