@@ -53,4 +53,50 @@ object Stats {
       .groupBy(col("q"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** Approximate quantiles (Greenwald–Khanna sketch, the 100 TB path —
+    * one pass, mergeable partials, no histogram-cardinality assumption)
+    * CHECKED in-plan against the exact histogram: for each q the sketch
+    * value's true rank window must overlap the target rank ±N/accuracy
+    * (the GK guarantee), emitted as a boolean beside the exact value.
+    * The a13 discipline: sketch internals differ across engines so the
+    * raw estimate has no cross-engine oracle, but the accuracy CLAIM is
+    * relational — DuckDB replays the exact quantiles and expects TRUE,
+    * so a sketch straying past its guarantee hash-mismatches.
+    *
+    * Returns (q, exact_value, within_bound). The exact side shares the
+    * sketch side's scan; the histogram window is bounded by value
+    * cardinality as in [[exactQuantiles]].
+    */
+  def approxQuantilesChecked(df: DataFrame, value: Column, qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val v = value.cast("long")
+    val hist = df.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum_le",
+      sum(col("c")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = df.agg(count(lit(1)).as("n"))
+    val exact = cum.crossJoin(broadcast(total))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum_le") >= ceil(col("q") * col("n")))
+      .groupBy(col("q"))
+      .agg(min(col("v")).as("exact_value"))
+    // the sketch returns an ELEMENT of the data, so an exact histogram
+    // row always matches it; its rank window is [cum_le - c + 1, cum_le]
+    val approx = df
+      .agg(percentile_approx(v, array(qs.map(lit): _*), lit(accuracy)).as("ap"))
+      .select(posexplode(col("ap")).as(Seq("i", "approx_v")))
+      .select(element_at(array(qs.map(lit): _*), col("i") + 1).as("q"), col("approx_v"))
+    val slack = col("n").cast("double") / accuracy + 1.0
+    val within = (col("cum_le") - col("c")).cast("double") <= col("q") * col("n") + slack &&
+      col("cum_le").cast("double") >= col("q") * col("n") - slack
+    approx
+      .join(cum, col("approx_v") === col("v"))
+      .crossJoin(broadcast(total))
+      .select(col("q"), within.as("within_bound"))
+      .join(exact, Seq("q"))
+      .select(col("q"), col("exact_value"), col("within_bound"))
+  }
 }

@@ -1755,6 +1755,26 @@ object TextQueries {
       t(s, dir, "documents"), col("n_chars"), Seq(0.5, 0.9, 0.99))
   }
 
+  /** Approximate quantiles bound-checked in-plan
+    * (Stats.approxQuantilesChecked): the Greenwald–Khanna sketch is the
+    * one-pass mergeable 100 TB path (no histogram-cardinality
+    * assumption), and its rank guarantee (±N/accuracy) is verified
+    * beside the exact histogram value — the a13 discipline: sketch
+    * internals have no cross-engine oracle, the accuracy CLAIM does.
+    * DuckDB replays the exact quantiles and expects within_bound TRUE.
+    */
+  val approxQuantiles: Q = Q(
+    "a21_approx_quantiles",
+    """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+      |hc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      |SELECT q, min(v) AS exact_value, TRUE AS within_bound
+      |FROM qs, n, hc WHERE cum >= ceil(q * n) GROUP BY q""".stripMargin) { (s, dir) =>
+    graft.core.Stats.approxQuantilesChecked(
+      t(s, dir, "documents"), col("n_chars"), Seq(0.5, 0.9, 0.99))
+  }
+
   /** Exact phrase search over positional postings
     * (TextSearch.phraseSearch): occurrence counts of the two-token
     * phrase "batch batch" — a repeated-word phrase, so overlapping
@@ -1796,5 +1816,5 @@ object TextQueries {
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
-    heavyHitters, exactDupSpans, exactQuantiles, phraseSearch)
+    heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, phraseSearch)
 }
