@@ -226,20 +226,29 @@ object Sampling {
     * the weight, which must be a SMALL positive integer — weights are
     * priorities like quality buckets 1..10, not free-form floats; rows
     * with weight < 1 get a null key and are ranked last, never
-    * selected over a real key). Selection is one per-stratum top-k
-    * window — the only shuffle, keyed on the stratum. The lambda
-    * captures only the projected id attribute (house rule).
+    * selected over a real key). Selection is TWO-PHASE (the bm25TopK
+    * discipline): a per-(stratum, id-hash shard) top-k bounds the rows
+    * any single per-stratum task ever sees at shards·k — a corpus-sized
+    * stratum ("web") can no longer funnel its whole row stream through
+    * one window task. Every global winner wins its shard, so the output
+    * is identical to the single-window form at any shard count.
     */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
-      weightCol: Column, k: Int): DataFrame = {
+      weightCol: Column, k: Int, shards: Int = 32): DataFrame = {
     require(k >= 1, s"weightedSample needs k >= 1, got $k")
     // guard BEFORE sequence(): sequence(1, 0) steps backwards in Spark,
     // it does not produce an empty array
     val key = when(weightCol >= 1,
       array_min(transform(sequence(lit(1), weightCol),
         j => md5(concat(col(idCol).cast("string"), lit(":"), j.cast("string"))))))
+    val wShard = Window.partitionBy(col(strataCol), col("_shard"))
+      .orderBy(col("es_key").asc_nulls_last, col(idCol))
     val w = Window.partitionBy(col(strataCol)).orderBy(col("es_key").asc_nulls_last, col(idCol))
     df.withColumn("es_key", key)
+      .withColumn("_shard", pmod(hash(col(idCol)), lit(shards)))
+      .withColumn("_sr", row_number().over(wShard))
+      .filter(col("_sr") <= k)
+      .drop("_shard", "_sr")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k && col("es_key").isNotNull)
       .drop("_rn")
