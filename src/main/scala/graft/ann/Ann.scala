@@ -21,18 +21,27 @@ object Ann {
   private def toD(c: Column): Column = VectorOps.toDoubleArray(c)
 
   /** Exact top-k neighbors for a (broadcastable) query set: one
-    * no-shuffle map stage over the candidates + a per-query top-k window.
+    * no-shuffle map stage over the candidates + the k-bounded combinable
+    * top-k aggregator (functions.TopKAgg) — NOT a per-query window,
+    * whose partition occupancy is the whole corpus per query: the map
+    * side reduces every partition to ≤ k rows per query BEFORE the
+    * exchange, so the shuffle carries ≤ k·queries·partitions rows
+    * instead of the scored corpus. Ordering (sim DESC, neighbor_id) and
+    * output are identical to the window form (AnnSpec pins recall and
+    * the int8 coarseK ≥ N equality against this).
     */
   def bruteForceKnn(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val sim = VectorOps.cosine(col("qe"), col("ne"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     candidates.select(col("vec_id").as("neighbor_id"), toD(col("embedding")).as("ne"))
       .crossJoin(broadcast(
         queries.select(col("vec_id").as("query_id"), toD(col("embedding")).as("qe"))))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("sim"), (col("i") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic sparse hyperplane coefficient for (table, bit, dim):

@@ -130,7 +130,12 @@ object Pq {
           VectorOps.dot(col("qs"), col("ce")).as("ip"),
           VectorOps.sumSq(col("ce")).as("csq")))
 
-  /** ADC partial sums → approximate cosine → per-query top-k. */
+  /** ADC partial sums → approximate cosine → per-query top-k via the
+    * k-bounded combinable aggregator (functions.TopKAgg) rather than a
+    * per-query window whose partition occupancy is the whole code table
+    * per query — map-side partials cap the exchange at ≤ topK rows per
+    * (query, partition). Identical ordering and output.
+    */
   private def adcRank(scored0: DataFrame, q: DataFrame, topK: Int): DataFrame = {
     val qnorms = broadcast(q.select(col("query_id"), VectorOps.l2Norm(col("qe")).as("qn")))
     val scored = scored0
@@ -141,8 +146,12 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         when(col("qn") * col("vn") === 0.0, lit(0.0))
           .otherwise(col("aip") / (col("qn") * col("vn"))).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(topK)(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("sim"), (col("i") + 1).cast("int").as("rank"))
   }
 
   def adcTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, m: Int,

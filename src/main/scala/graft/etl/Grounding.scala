@@ -230,11 +230,21 @@ object Grounding {
   def disambiguate(df: DataFrame, keywordCol: String, labelCountsCol: String,
       typeCol: String = "type"): DataFrame = {
     val perPub = Window.partitionBy(col("pmid"), col("pmcid"), col(typeCol), col(keywordCol))
-    val overall = Window.partitionBy(col(typeCol), col(keywordCol))
+    // the corpus-wide minimum per (type, keyword) is a combinable agg +
+    // join-back, NOT a window: a window partitioned by keyword funnels
+    // every occurrence of a corpus-hot keyword through one task (key
+    // occupancy, the jaccardPairs hot-shingle lesson), while the groupBy
+    // min costs one partial per partition and its per-keyword output
+    // joins back AQE-broadcast when it fits. min of per-pub minima
+    // equals the direct min of the label counts. Callers pass mapped
+    // (non-null) keywords, so the equi-join drops nothing.
+    val overallMin = df.groupBy(col(typeCol), col(keywordCol))
+      .agg(min(col(labelCountsCol)).as("_minOverall"))
+    val cols = df.columns.map(col).toSeq
     df.withColumn("_minPerPub", min(col(labelCountsCol)).over(perPub))
-      .withColumn("_minOverall", min(col("_minPerPub")).over(overall))
+      .join(overallMin, Seq(typeCol, keywordCol))
       .filter(col("_minPerPub") <= col("_minOverall"))
-      .drop("_minPerPub", "_minOverall")
+      .select(cols: _*)
   }
 
   private val baseCols: List[Column] = List(
