@@ -254,10 +254,20 @@ object Dedup {
     // changed starts at 1 so the loop runs at least once; maxIter <= 0
     // would skip the loop entirely and mis-report as non-convergence
     require(maxIter > 0, s"clusters() needs maxIter > 0, got $maxIter")
+    // SERIALIZED storage for the edge blocks: edges are only ever
+    // SCANNED once per round (never random-accessed), and they are the
+    // one frame here whose size tracks the candidate volume — at 40M
+    // soak docs the deserialized default filled the block manager with
+    // ~360 MB row-object partitions and drove the JVM into a shuffle-
+    // write OOM, while serialized+compressed blocks hold the same edges
+    // in a fraction of the heap and overflow to disk cleanly. The
+    // per-round label checkpoints stay deserialized: they are
+    // docs-in-pairs-sized, re-read three times per round, and the
+    // round-6 A/B showed serialization CPU is pure cost when blocks fit.
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
