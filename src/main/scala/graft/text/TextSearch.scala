@@ -41,7 +41,12 @@ object TextSearch {
   private def termFreqs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode_outer(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      // SERIALIZED blocks: tf is corpus × vocabulary sized and only ever
+      // scanned (df agg, dl agg, postings join) — deserialized row
+      // objects amplified it ~5× in the block manager and saturated the
+      // 40M-doc soak's MemoryStore, while the overflow path serializes
+      // to disk anyway. Same rule as clusters()' edge blocks.
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Lucene-variant BM25: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
     * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
