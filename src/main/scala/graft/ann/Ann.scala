@@ -307,6 +307,13 @@ object Ann {
       .select(col("query_id"), col("qe"), col("cell"))
 
     val sim = VectorOps.cosine(col("qe"), col("ne"))
+    // fine-search top-k in two bounded phases: a per-(query, probed
+    // cell) combinable top-k flattens each cell's candidate stream
+    // map-side (per-query window occupancy would otherwise be
+    // nprobe·N/C — linear in the corpus at fixed cell count), then the
+    // final per-query window ranks at most nprobe·k survivors. Every
+    // global winner wins its cell, so the result is identical to the
+    // single-window form; `cell` rides through phase 1's group key.
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     embeddings
       .select(col(cellCol).as("cell"), col("vec_id").as("neighbor_id"),
@@ -314,6 +321,11 @@ object Ann {
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("cell"), col("neighbor_id"), sim.as("sim"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("cell"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("cell"), col("e.id").as("neighbor_id"),
+        col("e.score").as("sim"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
   }
