@@ -812,6 +812,15 @@ object RelationalQueries {
     * single divisions of exact integers — (rank−1)/(n−1) and
     * rows≤current/n — so the doubles are bit-identical cross-engine with
     * no rounding.
+    *
+    * Scale note: percent_rank over a 3-value partition key is an
+    * inherent key-occupancy funnel — the function needs each group's
+    * total count and rank, and the OUTPUT is the input size, so no
+    * top-k bound applies. This is the SQL-surface parity shape; at
+    * corpus scale derive the same quantity funnel-free with
+    * Sampling.shuffleOrder's two-level pattern (per-range counts →
+    * broadcast exclusive offsets → per-range local ranks) and divide by
+    * the group totals from one combinable agg.
     */
   val rankFuncs: Q = Q(
     "w7_rank_funcs",
