@@ -67,6 +67,22 @@ class PairPlanShapeSpec extends SparkSpec {
     p should include ("LeftAnti")
   }
 
+  "containmentPairs" should "share the capped-index shape: shingle equi-join, no window" in {
+    val p = plan(Dedup.containmentPairs(docs))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Window"
+    p should include ("BroadcastHashJoin")
+    p should include ("LeftAnti")
+  }
+
+  "TextSearch.cosinePairs" should "join the weighted index on the term key, not a cartesian" in {
+    // the single 1-row n_docs crossJoin broadcasts a count — exclude
+    // cartesians only, like the bm25 stats join
+    val p = plan(graft.text.TextSearch.cosinePairs(docs, minCos = 0.2, maxDf = 10))
+    p should not include "CartesianProduct"
+  }
+
   "minhashCandidates" should "join on the band hash, not a cartesian" in {
     val p = plan(Dedup.minhashCandidates(Dedup.minhashSignatures(docs)))
     p should not include "CartesianProduct"
