@@ -54,6 +54,34 @@ object Stats {
       .agg(min(col("v")).as("value"))
   }
 
+  /** Per-group exact discrete quantiles — [[exactQuantiles]] with a
+    * grouping key (the per-language / per-source quality-cutoff
+    * primitive: "p90 document length per language" drives per-stratum
+    * filtering thresholds). Same histogram rank selection; the
+    * cumulative window partitions by GROUP over the per-group value
+    * histogram, so its occupancy is the group's value cardinality, never
+    * its row count — no group funnels regardless of stratum skew.
+    *
+    * Returns one row per (group, q): (groupCol, q, value).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val hist = df.groupBy(col(groupCol), value.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    cum.join(totals, Seq(groupCol))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("v")).as("value"))
+  }
+
   /** Approximate quantiles (Greenwald–Khanna sketch, the 100 TB path —
     * one pass, mergeable partials, no histogram-cardinality assumption)
     * CHECKED in-plan against the exact histogram: for each q the sketch

@@ -1755,6 +1755,27 @@ object TextQueries {
       t(s, dir, "documents"), col("n_chars"), Seq(0.5, 0.9, 0.99))
   }
 
+  /** Per-group exact quantiles (Stats.groupedExactQuantiles): p50/p90
+    * document length PER LANGUAGE via the same histogram rank selection
+    * as x37, with the cumulative window partitioned by the group — its
+    * occupancy is the group's value cardinality, never its row count, so
+    * stratum skew cannot funnel. The per-language thresholds this emits
+    * are the quality-cutoff table a multilingual cleaning pipeline keys
+    * on.
+    */
+  val groupedQuantiles: Q = Q(
+    "x40_grouped_quantiles",
+    """WITH h AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      |hc AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h),
+      |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |qs AS (SELECT unnest([0.5, 0.9]) AS q)
+      |SELECT lang, q, min(v) AS value
+      |FROM qs, hc JOIN n USING (lang)
+      |WHERE cum >= ceil(q * n) GROUP BY lang, q""".stripMargin) { (s, dir) =>
+    graft.core.Stats.groupedExactQuantiles(
+      t(s, dir, "documents"), "lang", col("n_chars"), Seq(0.5, 0.9))
+  }
+
   /** Approximate quantiles bound-checked in-plan
     * (Stats.approxQuantilesChecked): the Greenwald–Khanna sketch is the
     * one-pass mergeable 100 TB path (no histogram-cardinality
@@ -1816,5 +1837,6 @@ object TextQueries {
     incrementalMinhash,
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
-    heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, phraseSearch)
+    heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
+    phraseSearch)
 }

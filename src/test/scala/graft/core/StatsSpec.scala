@@ -39,6 +39,20 @@ class StatsSpec extends SparkSpec {
       Stats.exactQuantiles(Seq(1L).toDF("v"), col("v"), Seq(0.0))
   }
 
+  "Stats.groupedExactQuantiles" should "match per-group sorted-rank selection" in {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 20L), ("b", 20L))
+      .toDF("g", "v")
+    val got = Stats.groupedExactQuantiles(df, "g", col("v"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("a", 0.5) -> ref(Seq(1L, 2L, 3L, 4L), 0.5),
+      ("a", 1.0) -> 4L,
+      ("b", 0.5) -> ref(Seq(10L, 20L, 20L), 0.5),
+      ("b", 1.0) -> 20L)
+  }
+
   "Stats.approxQuantilesChecked" should "report the GK sketch inside its rank bound" in {
     val df = spark.range(10000)
       .select((when(col("id") < 9900, lit(1L)).otherwise(col("id") % 100 + 100)).as("v"))
