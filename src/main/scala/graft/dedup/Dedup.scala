@@ -385,7 +385,11 @@ object Dedup {
     // re-executes the full Lloyd chain once per consumer (measured 3×
     // in the d11 plan). Two id columns per row — far cheaper to hold
     // than to recompute, the termFreqs/clusters() discipline.
-    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters).localCheckpoint(false)
+    // serialized: (vec_id, cell) is corpus-sized and scan-only across
+    // its three consumers (both self-join sides + the anti-join) — the
+    // SCALE.md 40M storage-level rule
+    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val e = embeddings
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))

@@ -56,8 +56,14 @@ object CorpusStream {
   def admissionWriter(docs: DataFrame, initialSigs: DataFrame,
       minSim: Double, sink: BatchAdmissions => Unit): DataStreamWriter[Row] = {
     // mutable standing index — updated once per micro-batch inside
-    // foreachBatch (single-threaded per query), checkpointed per fold
-    var index = initialSigs.localCheckpoint()
+    // foreachBatch (single-threaded per query), checkpointed per fold.
+    // SERIALIZED blocks: the index grows with the admitted corpus and is
+    // only ever scanned by the band join — the scan-only corpus-sized
+    // checkpoint rule (SCALE.md 40M step); deserialized row objects
+    // would amplify the standing generation ~5× in the block manager
+    // over a long-lived stream.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    var index = initialSigs.localCheckpoint(true, ser)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val sigs = Dedup.minhashSignatures(batch).localCheckpoint()
@@ -69,7 +75,7 @@ object CorpusStream {
         sink(BatchAdmissions(batchId, admitted, flagged))
         val admittedSigs = sigs.join(dupIds, Seq("doc_id"), "left_anti")
         val previous = index
-        index = index.unionByName(admittedSigs).localCheckpoint()
+        index = index.unionByName(admittedSigs).localCheckpoint(true, ser)
         // the new fold is materialized (eager checkpoint) — free the
         // superseded generation and the batch's signature blocks so
         // block-manager usage stays one-generation-bounded over a
