@@ -337,6 +337,15 @@ object ScaleSoak {
         graft.dedup.Dedup.jaccardPairs(corpus, minJaccard = 0.5, maxShingleDf = 50))
         .count()
     }
+    // explicit-only growth probes for the round-7 pair operators: same
+    // capped-index scale shape as clean_jaccard, different measures
+    probed("containment_pairs") {
+      graft.dedup.Dedup.containmentPairs(corpus, minContainment = 0.9,
+        maxShingleDf = 50).count()
+    }
+    probed("cosine_pairs") {
+      graft.text.TextSearch.cosinePairs(corpus, minCos = 0.5, maxDf = 50).count()
+    }
     timed("kmeans_cells") {
       sinkCount(graft.ann.Ann.kmeansCells(emb, k = 64, iters = 2))
     }
