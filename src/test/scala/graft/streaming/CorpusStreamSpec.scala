@@ -58,5 +58,14 @@ class CorpusStreamSpec extends SparkSpec {
     while (persisted > persistedBefore + 1 && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     persisted should be <= (persistedBefore + 1)
+
+    // storage-level pin: the standing index grows with the admitted
+    // corpus and must live SERIALIZED in the block manager (SCALE.md 40M
+    // storage-level rule) — a regression to deserialized default only
+    // hurts at scale, so it must fail here
+    import org.apache.spark.storage.StorageLevel
+    val levels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSeq
+    levels should contain (StorageLevel.MEMORY_AND_DISK_SER)
   }
 }
