@@ -185,6 +185,40 @@ class IoSpec extends SparkSpec {
     explicit.count() shouldBe 1
   }
 
+  it should "capture malformed rows per-record instead of failing or dropping silently" in {
+    // the production ingest posture for a 100 TB JSON drop: schema is
+    // explicit, bad records land in a corrupt-record column for a
+    // quarantine sink, good records flow — and FAILFAST is available
+    // when the contract is "reject the whole drop"
+    val dir = tmp() + "/raw"
+    Files.writeString(java.nio.file.Path.of(dir).resolve("part-0.json").normalize() match {
+      case p => Files.createDirectories(p.getParent); p
+    }, """{"id": 1, "s": "ok"}
+         |{"id": broken
+         |{"id": 3, "s": "fine"}
+         |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("_bad", StringType)))
+    // cache() before filtering on the corrupt column alone — Spark
+    // refuses corrupt-column-only queries over the raw file scan
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN); a real quarantine sink
+    // materializes the parse once anyway
+    val df = Io.read(spark, Io.ReadSpec("json", dir, schema = Some(schema),
+      options = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .cache()
+    df.filter(col("_bad").isNull).select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L)
+    df.filter(col("_bad").isNotNull).count() shouldBe 1
+    df.unpersist()
+
+    intercept[org.apache.spark.SparkException] {
+      Io.read(spark, Io.ReadSpec("json", dir,
+        schema = Some(StructType(schema.dropRight(1))),
+        options = Map("mode" -> "FAILFAST"))).count()
+    }
+  }
+
   it should "fan out multiple writes" in {
     val base = tmp()
     val df = Seq((1, "x")).toDF("a", "b")
