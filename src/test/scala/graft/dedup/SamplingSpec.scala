@@ -355,6 +355,13 @@ class SamplingSpec extends SparkSpec {
     // deterministic: same input, same selected ids
     Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 4)
       .select("doc_id").as[Long].collect().toSet shouldBe got.map(_._1).toSet
+    // shard-phase invariance: the pre-selection shard count must not
+    // change the selection (every global winner wins its shard) — the
+    // two-phase claim that makes the funnel removal safe
+    Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 4, shards = 1)
+      .select("doc_id").as[Long].collect().toSet shouldBe got.map(_._1).toSet
+    Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 4, shards = 257)
+      .select("doc_id").as[Long].collect().toSet shouldBe got.map(_._1).toSet
   }
 
   it should "never select non-positive-weight rows and reject bad k" in {
