@@ -68,16 +68,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
-  it should "flag a sketch value outside its rank window as out of bound" in {
-    // the bound predicate itself must be falsifiable: accuracy 10 on 10k
-    // rows permits ±1001 ranks — drive the check directly by asserting
-    // the p50 sketch value's true rank window sits inside the permitted
-    // window (a structural sanity of the predicate, not of Spark's GK)
+  it should "flag a mis-ranked sketch value as out of bound (the predicate is falsifiable)" in {
     val df = spark.range(1000).select((col("id") + 1).as("v"))
+    // a correct p50 claim (true rank 500) passes at tight accuracy...
+    Stats.boundFor(df, col("v"), q = 0.5, approxV = 500L, accuracy = 10000) shouldBe true
+    // ...a grossly mis-ranked claim (rank 900 for q=0.5, slack ±1.1)
+    // must come back FALSE — if the slack arithmetic ever degenerates to
+    // constant-true, this is the test that fails
+    Stats.boundFor(df, col("v"), q = 0.5, approxV = 900L, accuracy = 10000) shouldBe false
+    // and the slack genuinely widens with lower accuracy: at accuracy 2
+    // (±501 ranks) the same wrong value is within its guarantee
+    Stats.boundFor(df, col("v"), q = 0.5, approxV = 900L, accuracy = 2) shouldBe true
+    // end-to-end sanity unchanged: the real sketch stays in bound and the
+    // exact median of 1..1000 is 500 under the lower-discrete convention
     val rows = Stats.approxQuantilesChecked(df, col("v"), Seq(0.5), accuracy = 10000)
       .collect()
     rows.head.getBoolean(2) shouldBe true
-    // median of 1..1000 under the lower-discrete convention is 500
     rows.head.getLong(1) shouldBe 500L
   }
 }
