@@ -568,4 +568,69 @@ object Dedup {
         (count(lit(1)) + (k - 1)).as("span_tokens"))
       .select(col("doc1"), col("doc2"), col("start1"), col("start2"), col("span_tokens"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
+    * the corpus by a blocking key and compare each document only with its
+    * next `windowSize − 1` neighbors in sort order — candidate volume is
+    * exactly `(windowSize − 1) · N`, linear by construction where even
+    * banded LSH is collision-bounded. The complementary blocking
+    * strategy to the shingle/signature generators above: it catches
+    * near-dups whose edits fall OUTSIDE the compared prefix (they still
+    * sort adjacently) and costs one edit-distance evaluation per
+    * neighbor pair.
+    *
+    * The classic pitfall is windows that stop at block/partition
+    * boundaries, silently losing cross-boundary neighbors. Here the sort
+    * rank is GLOBAL without a global sort: documents range-bucket by the
+    * first `rangePrefix` characters of the key (a prefix of the sort key,
+    * so range order extends key order), per-range `row_number` windows
+    * rank locally, and broadcast cumulative range counts lift local ranks
+    * to global ones — the shuffleOrder/sequencePacks two-level pattern.
+    * Neighbor pairing is then a plain equi-join on rank (probe side
+    * explodes each doc into `windowSize − 1` rank keys — bounded fan-out,
+    * perfectly uniform join keys). Per-range window occupancy is the
+    * range's document count; `rangePrefix` is the occupancy knob (longer
+    * prefix → more, smaller ranges) for corpora whose keys concentrate
+    * on few prefixes.
+    *
+    * Emits (doc_a, doc_b, dist) for neighbor pairs whose
+    * `levenshtein(probe_a, probe_b) ≤ maxDist`, probes being the first
+    * `probeLen` characters — the bounded-cost comparator; raise
+    * `probeLen` for higher precision at linearly higher comparator cost.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, windowSize: Int = 4,
+      maxDist: Int = 12, keyLen: Int = 24, probeLen: Int = 40,
+      rangePrefix: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowSize >= 2, "windowSize must pair each doc with ≥ 1 neighbor")
+    require(rangePrefix >= 1 && rangePrefix <= keyLen,
+      "rangePrefix must be a prefix of the sort key")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, probeLen).as("probe"),
+        substring(col(textCol), 1, keyLen).as("_key"))
+      .withColumn("_rng", substring(col("_key"), 1, rangePrefix))
+    // offsets: one row per distinct range prefix (≤ alphabet^rangePrefix)
+    // — the only Window.orderBy, over ranges, never documents
+    val wr = Window.orderBy(col("_rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("_rng")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_roff", coalesce(sum(col("cnt")).over(wr), lit(0L)))
+      .select(col("_rng"), col("_roff"))
+    val wd = Window.partitionBy(col("_rng")).orderBy(col("_key"), col("doc_id"))
+    val ranked = base.join(broadcast(offsets), Seq("_rng"))
+      .withColumn("rnk", col("_roff") + row_number().over(wd) - 1)
+      .select(col("doc_id"), col("probe"), col("rnk"))
+    val probes = ranked.select(col("doc_id").as("doc_a"),
+        col("probe").as("probe_a"), col("rnk"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("_j"))
+      .select(col("doc_a"), col("probe_a"), (col("rnk") + col("_j")).as("rnk"))
+    probes
+      .join(ranked.select(col("doc_id").as("doc_b"), col("probe").as("probe_b"),
+        col("rnk")), Seq("rnk"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("probe_a"), col("probe_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

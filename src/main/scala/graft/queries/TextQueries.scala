@@ -289,6 +289,45 @@ object TextQueries {
     }
   }
 
+  /** Sorted-neighborhood near-dup pairs (Dedup.sortedNeighborhoodPairs):
+    * the Hernández–Stolfo blocking strategy — sort by a key prefix,
+    * compare each doc only with its next `w − 1` sort neighbors, so
+    * candidate volume is (w − 1)·N by construction. The global sort rank
+    * is built WITHOUT a global sort (range-prefix buckets + per-range
+    * row_number + broadcast cumulative offsets — the shuffleOrder
+    * two-level pattern), and the oracle's single `row_number() OVER
+    * (ORDER BY …)` is value-identical, which is exactly the claim worth
+    * driver-checking: windows must NOT stop at range boundaries.
+    * Fixture plants a 1-char-mutated copy (id+3000000, 11th char → 'x')
+    * of every 10th document; both engines score the same
+    * levenshtein-over-40-char-probes and keep dist ≤ 12.
+    */
+  val sortedNeighborhood: Q = Q(
+    "d13_sorted_neighborhood",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    substr(text, 1, 10) || 'x' || substr(text, 12) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |ranked AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS probe,
+      |    row_number() OVER (ORDER BY substr(text, 1, 24), doc_id) - 1 AS rnk
+      |  FROM corpus WHERE text IS NOT NULL)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS dist
+      |FROM ranked a JOIN ranked b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+      |WHERE levenshtein(a.probe, b.probe) <= 12""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withMutants = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("x"),
+            substring(col("text"), 12, Int.MaxValue)).as("text")))
+    graft.dedup.Dedup.sortedNeighborhoodPairs(withMutants, windowSize = 4,
+      maxDist = 12, keyLen = 24, probeLen = 40)
+  }
+
   /** Duplicate-cluster resolution (Dedup.clusters): n-gram-Jaccard
     * candidate pairs resolved to canonical components by min-label
     * propagation; the oracle computes the same components with a
@@ -1825,7 +1864,8 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
-    simhashPairsComb, ngramJaccardPairs, containmentPairs, dedupClusters, clusterReps,
+    simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
+    dedupClusters, clusterReps,
     embeddingNearDups,
     langId, qualityScore,
     tokenStats, fingerprint,

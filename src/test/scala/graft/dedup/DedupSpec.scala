@@ -227,4 +227,46 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     Dedup.exactDupSpans(hot, k = 20, maxWindowDf = 10).count() shouldBe 0L
   }
+
+  // texts chosen so sort order interleaves the two range prefixes' edge:
+  // "az…"/"ba…" are rank-adjacent but land in DIFFERENT range buckets
+  private lazy val snDocs = Seq(
+    (0L, "az shared phrase body tail one two three"),
+    (1L, "ba shared phrase body tail one two three"), // boundary near-dup of 0
+    (2L, "ca completely different wording here entirely"),
+    (3L, "cb completely different wording here entirelx"), // near-dup of 2
+    (4L, "zz nothing like anything else in this corpus at all"))
+    .toDF("doc_id", "text")
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  "sortedNeighborhoodPairs" should "match the naive sorted sliding window exactly" in {
+    // reference semantics computed in-test: global sort by (key24, id),
+    // every (i, i+j) pair for j < w, levenshtein over 40-char probes
+    val w = 3
+    val rows = snDocs.as[(Long, String)].collect().toSeq
+      .sortBy { case (id, t) => (t.take(24), id) }
+    val expected = (for {
+      i <- rows.indices; j <- 1 until w if i + j < rows.size
+      d = lev(rows(i)._2.take(40), rows(i + j)._2.take(40)) if d <= 12
+    } yield (rows(i)._1, rows(i + j)._1, d.toLong)).toSet
+    val got = Dedup.sortedNeighborhoodPairs(snDocs, windowSize = w)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe expected
+    // the cross-range-boundary pair (the classic blocking failure) is in
+    got.map(p => (p._1, p._2)) should contain((0L, 1L))
+  }
+
+  it should "be invariant to range-bucket granularity" in {
+    val at = (p: Int) => Dedup.sortedNeighborhoodPairs(snDocs, windowSize = 4,
+      rangePrefix = p).as[(Long, Long, Long)].collect().toSet
+    at(1) shouldBe at(2)
+    at(2) shouldBe at(3)
+  }
 }
