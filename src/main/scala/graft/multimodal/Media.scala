@@ -39,6 +39,10 @@ final case class FrameFeatures(doc_id: Long, frame_no: Int, width: Int,
 final case class Mp4Meta(doc_id: Long, duration_ms: Long, timescale: Int,
     n_tracks: Int, width: Int, height: Int, codec: String)
 
+final case class PngMeta(doc_id: Long, width: Int, height: Int,
+    bit_depth: Int, color_type: Int, interlace: Int, n_chunks: Int,
+    idat_bytes: Long, text_meta: String)
+
 object Media {
 
   /** Decoder contract: bytes → (width, height, feature vector). Swap the
@@ -892,6 +896,110 @@ object Media {
         val bytes = out.toByteArray
         MediaRow(id, "video/mp4",
           if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ PNG chunks
+
+  /** Pure-JDK PNG chunk walker — the STRUCTURAL metadata pass (ISO/IEC
+    * 15948 §5): signature check, then `length + type + data + crc` chunks
+    * walked end to end. Returns the IHDR geometry fields (width, height,
+    * bit depth, color type, interlace), the chunk count, total IDAT
+    * payload bytes, and every `tEXt` keyword=value pair joined with ';'
+    * — the governance metadata (dimension gates, text-annotation
+    * harvesting, truncation detection) a corpus pipeline wants BEFORE
+    * paying for pixel decode, the same metadata-before-decode posture as
+    * [[parseMp4Meta]]. CRCs are read past, not validated — a metadata
+    * pass must classify, not certify. Bad signature, truncated chunk,
+    * missing IHDR, or a stream not ending in IEND THROW
+    * IllegalArgumentException; `lenient` extraction drops them.
+    */
+  private[multimodal] def parsePngMeta(payload: Array[Byte]): (Int, Int, Int, Int, Int, Int, Long, String) = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"payload is not a parseable PNG ($msg, ${payload.length} bytes)")
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (payload.length < 8 + 25 || !payload.take(8).sameElements(sig)) bad("magic")
+    def u32(o: Int): Long = {
+      if (o + 4 > payload.length) bad(s"truncated u32 at $o")
+      (payload(o) & 0xffL) << 24 | (payload(o + 1) & 0xffL) << 16 |
+        (payload(o + 2) & 0xffL) << 8 | (payload(o + 3) & 0xffL)
+    }
+    var (w, h, depth, colorType, interlace) = (0, 0, 0, 0, 0)
+    var (nChunks, idatBytes) = (0, 0L)
+    val texts = Vector.newBuilder[String]
+    var o = 8
+    var sawIend = false
+    while (o < payload.length && !sawIend) {
+      val len = u32(o).toInt
+      if (o + 12 + len > payload.length || len < 0) bad(s"truncated chunk at $o")
+      val typ = new String(payload, o + 4, 4, "US-ASCII")
+      val data = o + 8
+      nChunks += 1
+      typ match {
+        case "IHDR" =>
+          if (nChunks != 1 || len < 13) bad("IHDR not first or short")
+          w = u32(data).toInt; h = u32(data + 4).toInt
+          depth = payload(data + 8) & 0xff; colorType = payload(data + 9) & 0xff
+          interlace = payload(data + 12) & 0xff
+        case "IDAT" => idatBytes += len
+        case "tEXt" =>
+          // keyword NUL text, both Latin-1 (§11.3.3.3)
+          val nul = (data until data + len).find(payload(_) == 0).getOrElse(data + len)
+          texts += new String(payload, data, nul - data, "ISO-8859-1") + "=" +
+            new String(payload, nul + 1, data + len - nul - 1, "ISO-8859-1")
+        case "IEND" => sawIend = true
+        case _ => ()
+      }
+      o += 12 + len
+    }
+    if (nChunks == 0 || w == 0) bad("no IHDR")
+    if (!sawIend) bad("no IEND")
+    (w, h, depth, colorType, interlace, nChunks, idatBytes, texts.result().mkString(";"))
+  }
+
+  /** PNG structural metadata over binary payloads — one chunk walk per
+    * payload per partition, map-side only (the m8 batch shape); `lenient`
+    * drops malformed containers.
+    */
+  def extractPngMeta(rows: Dataset[MediaRow], spark: SparkSession,
+      lenient: Boolean = false): Dataset[PngMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val (w, h, d, c, i, n, idat, txt) = parsePngMeta(r.payload)
+          Iterator.single(PngMeta(r.doc_id, w, h, d, c, i, n, idat, txt))
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** The [[syntheticPngs]] fixtures with a REAL `tEXt` chunk
+    * (`doc=<id>`, correct CRC32) spliced in before IEND — so the chunk
+    * walker's text harvesting is oracle-checkable, not just the IHDR
+    * geometry. Every 7th payload truncates to its 8-byte magic for the
+    * `lenient` drop path, as in the base fixture.
+    */
+  def syntheticAnnotatedPngs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val png = solidPng((1 + id % 8).toInt, (1 + id % 6).toInt, docRgb(id))
+        val data = "doc".getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+          id.toString.getBytes("ISO-8859-1")
+        val chunk = new java.io.ByteArrayOutputStream()
+        val d = new java.io.DataOutputStream(chunk)
+        d.writeInt(data.length); d.write("tEXt".getBytes("US-ASCII")); d.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+        d.writeInt(crc.getValue.toInt)
+        // IEND is always the trailing 12 bytes; splice the tEXt before it
+        val bytes = png.dropRight(12) ++ chunk.toByteArray ++ png.takeRight(12)
+        MediaRow(id, "image/png",
+          if (id % 7 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
       }
     }
   }

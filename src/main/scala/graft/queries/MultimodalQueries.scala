@@ -342,7 +342,37 @@ object MultimodalQueries {
         round(element_at(col("feature"), 3).cast("double") * 255).cast("int").as("mean_b"))
   }
 
+  /** PNG STRUCTURAL metadata inside the driver-checked surface — the
+    * chunk-walk governance pass that reads geometry and text annotations
+    * WITHOUT pixel decode (m8's metadata-before-decode posture applied
+    * to the image family): the m4 solid-color fixtures with a real
+    * `tEXt doc=<id>` chunk (correct CRC32) spliced before IEND
+    * (Media.syntheticAnnotatedPngs), every 7th payload truncated/corrupt,
+    * walked per-partition by Media.parsePngMeta in `lenient` mode (the
+    * oracle's `doc_id % 7 <> 0` asserts exactly that drop set). The
+    * IHDR fields are imageio-encoder facts the walker must read from
+    * real bytes — 8-bit depth, truecolor type 2, no interlace — and
+    * text_meta proves the spliced chunk is both walked and parsed.
+    * Chunk count and IDAT byte total are encoder-dependent, so they stay
+    * out of the oracle columns and are spec-locked instead (MediaSpec).
+    */
+  val pngMeta: Q = Q(
+    "m12_png_meta",
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + doc_id % 6 AS INT) AS height,
+      |  CAST(8 AS INT) AS bit_depth,
+      |  CAST(2 AS INT) AS color_type,
+      |  CAST(0 AS INT) AS interlace,
+      |  'doc=' || doc_id AS text_meta
+      |FROM documents WHERE doc_id % 7 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticAnnotatedPngs(t(s, dir, "documents"), s)
+    graft.multimodal.Media.extractPngMeta(rows, s, lenient = true).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+        col("color_type"), col("interlace"), col("text_meta"))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
-    mkvFrames)
+    mkvFrames, pngMeta)
 }

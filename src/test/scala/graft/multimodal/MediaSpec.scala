@@ -433,6 +433,48 @@ class MediaSpec extends SparkSpec {
     Media.extractMp4Frames(avc, spark, lenient = true).count() shouldBe 0
   }
 
+  "parsePngMeta" should "walk real imageio chunks plus a spliced tEXt annotation" in {
+    val rows = Media.syntheticAnnotatedPngs(docs, spark)
+    val metas = Media.extractPngMeta(rows, spark, lenient = true).cache()
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    // every 7th payload is truncated — lenient drops exactly those
+    metas.select("doc_id").as[Long].collect().toSet shouldBe ids.filter(_ % 7 != 0)
+    metas.collect().foreach { m =>
+      val id = m.doc_id
+      (m.width, m.height) shouldBe (((1 + id % 8).toInt, (1 + id % 6).toInt))
+      (m.bit_depth, m.color_type, m.interlace) shouldBe ((8, 2, 0))
+      m.text_meta shouldBe s"doc=$id"
+      // encoder-dependent fields the oracle can't replay: still structural
+      // facts — at least IHDR+IDAT+tEXt+IEND chunks, nonempty pixel data
+      m.n_chunks should be >= 4
+      m.idat_bytes should be > 0L
+    }
+  }
+
+  it should "join multiple tEXt chunks and reject malformed streams" in {
+    val png = Media.solidPng(3, 2, 0x102030)
+    def text(kw: String, v: String): Array[Byte] = {
+      val data = kw.getBytes("ISO-8859-1") ++ Array(0.toByte) ++ v.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+      def be32(x: Long) = Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+        ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+      be32(data.length.toLong) ++ "tEXt".getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
+    }
+    val two = png.dropRight(12) ++ text("Author", "ann") ++ text("Title", "t") ++
+      png.takeRight(12)
+    val (w, h, d, c, _, _, _, txt) = Media.parsePngMeta(two)
+    (w, h, d, c) shouldBe ((3, 2, 8, 2))
+    txt shouldBe "Author=ann;Title=t"
+    // malformed: bad magic, truncated chunk, missing IEND
+    an[IllegalArgumentException] should be thrownBy
+      Media.parsePngMeta("notapngnotapngnotapngnotapngnotapng".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Media.parsePngMeta(png.dropRight(5))
+    an[IllegalArgumentException] should be thrownBy
+      Media.parsePngMeta(png.dropRight(12))
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
