@@ -346,6 +346,54 @@ object ScaleSoak {
     probed("cosine_pairs") {
       graft.text.TextSearch.cosinePairs(corpus, minCos = 0.5, maxDf = 50).count()
     }
+    // explicit-only growth probes for the later round-7 operators.
+    probed("sorted_neighborhood") {
+      // every soak doc starts "the w…", so the default rangePrefix=2
+      // collapses to ONE range bucket = one window partition holding the
+      // whole corpus — exactly the occupancy knob the scaladoc names.
+      // rangePrefix=8 reaches past the shared prefix into the hashed
+      // first word (~10k distinct ranges); candidate volume stays
+      // (w−1)·N by construction at every N.
+      graft.dedup.Dedup.sortedNeighborhoodPairs(corpus, windowSize = 4,
+        maxDist = 12, rangePrefix = 8).count()
+    }
+    probed("exact_dup_spans") {
+      // 37-token docs → 18 k-windows each; the planted 50-blocks (4
+      // identical docs) sit under the df cap, so every block contributes
+      // its full diagonal-run merge — linear in N blocks
+      graft.dedup.Dedup.exactDupSpans(corpus, k = 20, maxWindowDf = 10).count()
+    }
+    probed("phrase_search") {
+      // "of note" is the 96%-of-corpus tail phrase — the HOT case: the
+      // broadcast phrase filter keeps ~2N postings, the anchor-vote agg
+      // is combinable, and no key sees more than a doc's occurrences
+      graft.text.TextSearch.phraseSearch(corpus, Seq("of", "note")).count()
+    }
+    probed("heavy_hitters") {
+      // token stream ~38N rows; 'the'/'and'/'of'/'note' are the planted
+      // heavy keys — the CMS prune must drop the 9973-word hashed tail
+      // map-side before the exact count
+      graft.functions.Sketches.heavyHitters(
+        corpus.select(explode(split(col("text"), " ")).as("tok")),
+        col("tok")).count()
+    }
+    probed("pagerank") {
+      // deterministic degree-2 random graph over the doc ids: 2N edges,
+      // hubs arise from pmod collisions; 3 fixed-point iterations
+      val edges = spark.range(docs).selectExpr(
+        "id as src", s"pmod(xxhash64(id, 7), $docs) as dst")
+        .unionAll(spark.range(docs).selectExpr(
+          "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
+      graft.graph.Graph.pageRank(edges, iterations = 3).count()
+    }
+    probed("ivfpq") {
+      // the billion-vector layout at soak scale: 64 coarse cells,
+      // m=8 × k=16 codebooks, 64 queries routed to nprobe=2 cells —
+      // ADC scores (nprobe/kCells)·N code rows per query
+      val queries = emb.filter(col("vec_id") % (vecs / 64) === 0)
+      graft.ann.Pq.ivfAdcTopK(emb, queries, dim = dim, m = 8, k = 16,
+        kCells = 64, nprobe = 2, topK = 10).count()
+    }
     timed("kmeans_cells") {
       sinkCount(graft.ann.Ann.kmeansCells(emb, k = 64, iters = 2))
     }
