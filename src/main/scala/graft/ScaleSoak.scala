@@ -386,6 +386,20 @@ object ScaleSoak {
           "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
       graft.graph.Graph.pageRank(edges, iterations = 3).count()
     }
+    // ivfpq decomposition probes: the 2.5M run measured linear CPU
+    // (4.3× for 5× data) concentrated in ~3 full-width uniform stages;
+    // these attribute it to the components (coarse quantizer, codebook
+    // training, code assignment) so the growth table names the owner
+    probed("ivfpq_cells") {
+      sinkCount(graft.ann.Ann.kmeansCells(emb, k = 64, iters = 1))
+    }
+    probed("ivfpq_codebooks") {
+      sinkCount(graft.ann.Pq.codebooks(emb, dim = dim, m = 8, k = 16))
+    }
+    probed("ivfpq_encode") {
+      val books = graft.ann.Pq.codebooks(emb, dim = dim, m = 8, k = 16)
+      sinkCount(graft.ann.Pq.encode(emb, books, dim = dim, m = 8))
+    }
     probed("ivfpq") {
       // the billion-vector layout at soak scale: 64 coarse cells,
       // m=8 × k=16 codebooks, 64 queries routed to nprobe=2 cells —
