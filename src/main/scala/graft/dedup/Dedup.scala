@@ -540,20 +540,30 @@ object Dedup {
       .filter(size(col("w")) >= k)
     // w is a projected attribute, so the per-position slice is a cheap
     // array view, not a re-split (the shingles() house rule).
-    // positions feeds both the hot-set agg and the pair self-join —
-    // no materialization needed: exchange reuse covers multi-consumer
-    // lineage within one action (see the jaccardPairs note; the
-    // localCheckpoint variant measured 3× the CPU for zero saved work)
+    // positions feeds both the hot-set agg and the pair self-join, and
+    // UNLIKE jaccardPairs (whose distinct() puts a canonical exchange
+    // below the branch point) this lineage is pure map-side — with no
+    // shared exchange, each consumer re-executes the explode+md5 scan.
+    // The uniform doc-keyed repartition is that shared cut, and the cap
+    // join is left_outer + IsNull instead of the equivalent left_anti
+    // because PushDownLeftSemiAntiJoin would reorder an anti below the
+    // repartition and split the canonical exchange again (the
+    // TextQuality.overlapPairs scaladoc has the full mechanism;
+    // measured here: 2.30 s → 1.29 s isolated at sf0.1, identical
+    // output).
     val positions = words
       .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         substring(md5(array_join(slice(col("w"), col("pos"), lit(k)), " ")), 1, 16).as("h"))
+      .repartition(col("doc_id"))
     val hot = positions.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") > maxWindowDf)
-      .select(col("h"))
-    val idx = positions.join(broadcast(hot), Seq("h"), "left_anti")
+      .select(col("h").as("hot_h"))
+    val idx = positions.join(broadcast(hot), col("h") === col("hot_h"), "left_outer")
+      .filter(col("hot_h").isNull)
+      .select(col("h"), col("doc_id"), col("pos"))
     val matches = idx.select(col("h"), col("doc_id").as("doc1"), col("pos").as("pos1"))
       .join(idx.select(col("h"), col("doc_id").as("doc2"), col("pos").as("pos2")), Seq("h"))
       .filter(col("doc1") < col("doc2"))

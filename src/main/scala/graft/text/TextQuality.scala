@@ -120,15 +120,42 @@ object TextQuality {
     * (SCALE.md "clean_corpus hot key"); the over-cap set is bounded by
     * index_rows/cap, and boilerplate passages shared corpus-wide are
     * exactly what the cap drops.
+    *
+    * The id-keyed `repartition` below is load-bearing: `fps` usually
+    * arrives as PURE MAP-SIDE lineage ([[winnowedFingerprints]] — no
+    * exchange), and both the df aggregation and the index consume it.
+    * Without an exchange between, each consumer re-executes the whole
+    * fingerprint computation (measured 2.9× wall on the x22 bench after
+    * the anti-join rewrite dropped the window's exchange — the window
+    * shape computed winnowing once behind its fp shuffle). One UNIFORM
+    * doc-keyed exchange restores single execution via AQE stage reuse
+    * without reintroducing the fp-keyed hot-partition hazard; the
+    * capped self-join's own fp exchange then only ever sees under-cap
+    * keys.
+    *
+    * The cap is a left_outer + IsNull filter rather than the
+    * equivalent left_anti ON PURPOSE: Catalyst's
+    * PushDownLeftSemiAntiJoin pushes an anti-join below a
+    * user-inserted Repartition, leaving the index branch's exchange
+    * with a (winnow + anti-join) child that no longer canonically
+    * matches the df branch's exchange over raw winnow — so the stage
+    * is NOT reused and the fingerprint lineage executes twice anyway
+    * (measured: anti 4.46 s vs outer 2.62 s isolated at sf0.1,
+    * identical output). No rule reorders an outer join through
+    * Repartition, so all three consumers (df agg, index, both
+    * self-join sides) hang off ONE canonical exchange.
     */
   def overlapPairs(fps: DataFrame, minShared: Int = 2,
       maxFpDf: Int = 1000, idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"overlapPairs needs minShared >= 1, got $minShared")
-    val hot = fps.groupBy(col("fp"))
+    val mat = fps.repartition(col(idCol))
+    val hot = mat.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxFpDf)
-      .select(col("fp"))
-    val idx = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .select(col("fp").as("hot_fp"))
+    val idx = mat.join(broadcast(hot), col("fp") === col("hot_fp"), "left_outer")
+      .filter(col("hot_fp").isNull)
+      .select(col("fp"), col(idCol))
     idx.alias("a")
       .join(idx.alias("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))

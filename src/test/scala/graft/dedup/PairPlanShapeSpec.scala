@@ -59,12 +59,23 @@ class PairPlanShapeSpec extends SparkSpec {
     p should include ("LeftAnti")
   }
 
-  "TextQuality.overlapPairs df cap" should "be a broadcast anti-join, not a window" in {
+  "TextQuality.overlapPairs df cap" should "be a broadcast outer join below the repartition, not a window" in {
     val fps = graft.text.TextQuality.winnowedFingerprints(docs)
     val p = plan(graft.text.TextQuality.overlapPairs(fps))
     p should not include "Window"
     p should include ("BroadcastHashJoin")
-    p should include ("LeftAnti")
+    // left_outer + IsNull, NOT LeftAnti: PushDownLeftSemiAntiJoin would
+    // reorder an anti-join below the doc-keyed repartition, splitting
+    // the canonical exchange and re-executing the fingerprint lineage
+    // per consumer (see overlapPairs scaladoc)
+    p should include ("LeftOuter")
+    p should not include "LeftAnti"
+    // the repartition must stay BELOW the cap join so the df branch and
+    // the index branch share one canonical exchange (stage reuse)
+    val joinAt = p.indexOf("LeftOuter")
+    val repartAt = p.indexOf("REPARTITION_BY_COL")
+    assert(joinAt >= 0 && repartAt > joinAt,
+      s"expected REPARTITION_BY_COL below the LeftOuter cap join; joinAt=$joinAt repartAt=$repartAt")
   }
 
   "containmentPairs" should "share the capped-index shape: shingle equi-join, no window" in {
