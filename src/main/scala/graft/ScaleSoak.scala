@@ -363,6 +363,16 @@ object ScaleSoak {
       // its full diagonal-run merge — linear in N blocks
       graft.dedup.Dedup.exactDupSpans(corpus, k = 20, maxWindowDf = 10).count()
     }
+    probed("overlap_pairs") {
+      // winnowed-fingerprint span-overlap pairs over the same planted
+      // blocks; with the shared doc-keyed exchange the winnowing lineage
+      // must execute ONCE (the anti-join-pushdown fix — session 8), so
+      // wall should track the single fingerprint pass plus the capped
+      // self-join, not 2× the map stage
+      graft.text.TextQuality.overlapPairs(
+        graft.text.TextQuality.winnowedFingerprints(corpus),
+        minShared = 2, maxFpDf = 10).count()
+    }
     probed("phrase_search") {
       // "of note" is the 96%-of-corpus tail phrase — the HOT case: the
       // broadcast phrase filter keeps ~2N postings, the anchor-vote agg

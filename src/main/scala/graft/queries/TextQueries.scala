@@ -1550,6 +1550,118 @@ object TextQueries {
       minShared = 2, maxFpDf = 100)
   }
 
+  /** URL canonicalization + URL-level dedup (UrlOps.canonicalizeUrl):
+    * deterministic messy URL variants are synthesized from doc_id
+    * (mixed-case scheme/host, default ports, tracking params, unsorted
+    * query params, fragments — four rotating shapes, three doc_ids per
+    * page so the dedup is non-trivial), canonicalized map-side with
+    * builtin functions only, and grouped by canonical form. The oracle
+    * re-implements the canonicalization generically in DuckDB
+    * (regexp part-split + list_filter/list_sort), NOT by regenerating
+    * the clean form — so the check is a true cross-engine replay of the
+    * normalization semantics.
+    */
+  val urlCanonical: Q = Q(
+    "x41_url_canonical",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM:443/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      |      WHEN 1 THEN 'http://site' || CAST(doc_id % 23 AS VARCHAR) || '.example.com:80/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2&fbclid=x' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?b=2&a=1'
+      |      ELSE 'https://SITE' || CAST(doc_id % 23 AS VARCHAR) || '.Example.com/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '#sec'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS auth0,
+      |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+      |    CASE WHEN url LIKE '%?%' THEN regexp_extract(url, '\?([^#]*)', 1) END AS q0
+      |  FROM raw),
+      |kept AS (
+      |  SELECT doc_id, scheme, auth0, path0,
+      |    list_filter(string_split(q0, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$')) AS ps
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+      |          WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+      |          ELSE auth0 END) ||
+      |    (CASE WHEN path0 IS NULL OR path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN ps IS NULL OR len(ps) = 0 THEN ''
+      |          ELSE '?' || array_to_string(list_sort(ps), '&') END) AS canon_url
+      |  FROM kept)
+      |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      |FROM canon GROUP BY 1""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 23).cast("string")
+    val page = floor(col("doc_id") / 3).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Site"), k, lit(".Example.COM:443/doc/"), page,
+          lit("?utm_source=feed&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://site"), k, lit(".example.com:80/doc/"), page,
+          lit("?a=1&b=2&fbclid=x"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), k, lit(".example.com/doc/"), page,
+          lit("?b=2&a=1")))
+      .otherwise(
+        concat(lit("https://SITE"), k, lit(".Example.com/doc/"), page,
+          lit("#sec")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  /** Gopher quality gates (TextQuality.gopherQualityGates): the Rae et
+    * al. 2021 A1.1 per-document thresholds as auditable booleans. The
+    * oracle replays every signal — word/line splits, higher-order
+    * folds, symbol counting via replace-length deltas, the stop-word
+    * membership count — and the gate conjunction in DuckDB list
+    * functions.
+    */
+  val gopherGates: Q = Q(
+    "x42_gopher_gates",
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    round(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS DOUBLE)
+      |      / len(w), 6) AS mean_word_len,
+      |    round(CAST((len(text) - len(replace(text, '#', ''))) +
+      |        (len(text) - len(replace(text, '...', ''))) // 3 AS DOUBLE)
+      |      / len(w), 6) AS symbol_ratio,
+      |    round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      |      / len(lines), 6) AS bullet_line_frac,
+      |    round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+      |      / len(lines), 6) AS ellipsis_line_frac,
+      |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(w), 6) AS alpha_word_frac,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      sw -> list_contains(w, sw))) AS BIGINT) AS n_stop_words
+      |  FROM base WHERE len(w) > 0 AND len(lines) > 0)
+      |SELECT *,
+      |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+      |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |   AND n_stop_words >= 2) AS passes
+      |FROM m""".stripMargin) { (s, dir) =>
+    graft.text.TextQuality.gopherQualityGates(t(s, dir, "documents"))
+  }
+
   /** Corpus-trained bigram-LM cross-entropy per document
     * (LangModel.crossEntropy) — the CCNet perplexity-filter signal,
     * with the KenLM replaced by an interpolated bigram model trained
@@ -1878,5 +1990,5 @@ object TextQueries {
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
-    phraseSearch)
+    phraseSearch, urlCanonical, gopherGates)
 }

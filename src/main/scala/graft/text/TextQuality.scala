@@ -76,6 +76,64 @@ object TextQuality {
       .na.fill(0.0, Seq("top_unigram_frac", "top_bigram_frac"))
   }
 
+  /** The Gopher QUALITY gates (Rae et al. 2021, appendix A1.1) —
+    * complement of [[gopherStats]]' repetition rules: per-document
+    * booleans for each published threshold plus the conjunction, so a
+    * pipeline can both filter on `passes` and audit WHICH gate a
+    * rejected document failed (the operational need the paper calls
+    * out — blanket filters hide systematic corpus damage).
+    *
+    * Gates: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (`#` and `...`) ≤ 0.1; ≤ 90% of
+    * lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    * words containing an alphabetic character; ≥ 2 distinct stop words
+    * present.
+    *
+    * Entirely map-side (split + higher-order array folds inside
+    * whole-stage codegen, one row in / one row out, no shuffle); ratios
+    * are rounded to 6 dp so the booleans AND the diagnostics replay
+    * bit-identically cross-engine.
+    */
+  def gopherQualityGates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = words(col(textCol))
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val nW = size(w).cast("long")
+    val nL = size(lines).cast("long")
+    val meanLen = round(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nW, 6)
+    val nHash = length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))
+    val nEll = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val symRatio = round((nHash + nEll).cast("double") / nW, 6)
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nL, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nL, 6)
+    val alphaFrac = round(
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nW, 6)
+    val nStop = size(filter(
+      array(stops.map(lit): _*), sw => array_contains(w, sw)))
+    docs
+      .select(col(idCol), col(textCol))
+      .filter(size(w) > 0 && size(lines) > 0)
+      .select(col(idCol),
+        nW.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+        nStop.cast("long").as("n_stop_words"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_stop_words") >= 2)
+  }
+
   /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003): hash every word k-gram, slide a `window`-wide window
     * over the hash sequence and keep each window's minimum — the

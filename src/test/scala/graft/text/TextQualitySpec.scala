@@ -34,6 +34,33 @@ class TextQualitySpec extends SparkSpec {
     out(3L) shouldBe ((3L, 1L, 1.0, 0.0, 0.0))
   }
 
+  "gopherQualityGates" should "trip each gate on its own fixture" in {
+    val good = ("the cat and the dog have fun with all of that " * 6).trim // 66 words, all alpha, stops
+    val out = TextQuality.gopherQualityGates(docs(
+      (1L, good),
+      (2L, "the of and short"),                       // n_words = 4 < 50
+      (3L, good + " " + Seq.fill(20)("### ### ###").mkString(" ")), // symbol ratio over 0.1
+      (4L, (1 to 60).map(i => s"- bullet $i the of and line\n").mkString), // all lines bullets
+      (5L, good.split(" ").map(w => w + "...").mkString("\n")),     // every line ellipsis-ended
+      (6L, good + " " + (1 to 60).map(_.toString).mkString(" ")),   // digits dilute alpha frac
+      (7L, Seq.fill(60)("zz qq xx").mkString(" "))),                 // no stop words
+      minWords = 50)
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    out(1L) shouldBe true
+    out(2L) shouldBe false
+    out(3L) shouldBe false
+    out(4L) shouldBe false
+    out(5L) shouldBe false
+    out(6L) shouldBe false
+    out(7L) shouldBe false
+  }
+
+  it should "stay map-side (no Exchange)" in {
+    val plan = TextQuality.gopherQualityGates(docs((1L, "the of and a b")))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   "winnowedFingerprints" should "hit boundary cases and guarantee shared runs" in {
     val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
     val fps = TextQuality.winnowedFingerprints(docs(
