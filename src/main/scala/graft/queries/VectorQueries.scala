@@ -541,7 +541,32 @@ object VectorQueries {
     }
   }
 
+  /** Exact population covariance matrix of the embedding corpus, upper
+    * triangle (Pca.covariance) — the distributed kernel under the PCA /
+    * whitening front end (Pca.fit's eigensolve and Pca.project are
+    * driver-/map-side over this output and are spec-locked in PcaSpec).
+    * The d²-per-row outer products never reach the shuffle: the
+    * Generate feeds a partial aggregate in the same stage, and decimal
+    * accumulation makes the matrix bit-identical under any partitioning
+    * — which is exactly what lets DuckDB replay it hash-exact here.
+    */
+  val covarianceMatrix: Q = Q(
+    "v14_covariance",
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    unnest(range(64)) AS i,
+      |    unnest(list_transform(range(64), k -> CAST(embedding[k + 1] AS DOUBLE))) AS x
+      |  FROM embeddings)
+      |SELECT a.i AS i, b.i AS j,
+      |  round(CAST(sum(CAST(a.x * b.x AS DECIMAL(30,10))) AS DOUBLE) / count(*) -
+      |    (CAST(sum(CAST(a.x AS DECIMAL(30,10))) AS DOUBLE) / count(*)) *
+      |    (CAST(sum(CAST(b.x AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 9) AS cov
+      |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.ann.Pca.covariance(emb(s, dir), dim = 64)
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
     kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup,
-    pqCodes, pqAdcTopK, pqRerank, ivfPq)
+    pqCodes, pqAdcTopK, pqRerank, ivfPq, covarianceMatrix)
 }
