@@ -947,7 +947,43 @@ object RelationalQueries {
         col("e.id").as("c_custkey"), col("e.score").as("c_acctbal"))
   }
 
+  /** Mergeable distinct-count sketches (DataSketches HLL): per
+    * (returnflag, linestatus) sub-sketches built with hll_sketch_agg,
+    * then UNIONED across linestatus with hll_union_agg before
+    * estimating — the pattern approx_count_distinct cannot express
+    * (its HLL±± buffer never leaves the aggregation), and the one an
+    * incremental corpus pipeline needs: persist per-batch sketch
+    * BLOBs, merge at read time without touching raw data. Checked the
+    * a13 way: the exact count (pre-deduped, no Expand) rides beside
+    * the estimate and the oracle replays the |approx−exact| ≤ 3·rsd
+    * bound as a boolean (lgConfigK = 12 → rsd ≈ 1.04/√4096 ≈ 1.63%);
+    * the estimate itself is a pure function of the value SET, so the
+    * boolean is deterministic.
+    */
+  val hllSketchMerge: Q = Q(
+    "a22_hll_sketch_merge",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val sketched = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_parts"))
+    val exact = li
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(lit(1))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_parts"))
+    exact
+      .join(broadcast(sketched), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          lit(3 * 0.0163) * col("exact_parts")).as("within_bound"))
+  }
+
   val all: Seq[Q] = Seq(
+    hllSketchMerge,
     pricingSummary, collectSorted, groupMinMax, countDistinctQ, distinctQ,
     keyedDedup, approxDistinct, trainingBags, runningSum, twoLevelMin, denseRankTop1,
     windowCollectSet, broadcastJoin, leftOuterCoalesce, antiJoin, semiJoin,

@@ -100,4 +100,20 @@ class SketchesSpec extends SparkSpec {
     // join; the bloom filter itself must not repartition it
     plan should include("BroadcastHashJoin")
   }
+
+  behavior of "hll sketch mergeability (a22's kernel)"
+
+  it should "estimate identically whether built whole or unioned from sub-sketches" in {
+    // HLL union at equal lgConfigK is lossless: the merged register set
+    // is a pure function of the value SET, so sharding the build must
+    // not change the estimate by even one count
+    val df = spark.range(0, 20000)
+      .selectExpr("id % 7 as shard", "concat('v', id % 4831) as v")
+    val whole = df.agg(hll_sketch_estimate(hll_sketch_agg($"v", lit(12)))).as[Long].head()
+    val merged = df.groupBy($"shard").agg(hll_sketch_agg($"v", lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false)))).as[Long].head()
+    merged shouldBe whole
+    // and the estimate is in the 3-sigma band of the true 4831
+    math.abs(merged - 4831L).toDouble should be < 3 * 0.0163 * 4831
+  }
 }
