@@ -1662,6 +1662,56 @@ object TextQueries {
     graft.text.TextQuality.gopherQualityGates(t(s, dir, "documents"))
   }
 
+  /** HTML → text extraction (HtmlExtract.htmlToText/htmlTitle/
+    * linkCount): each document's text is entity-escaped and wrapped in
+    * a deterministic HTML shell — title in head, a style block with a
+    * `>` selector, a script emitting literal markup, a comment, an
+    * nbsp-joined heading, and `doc_id % 5` anchors — then stripped back
+    * map-side. The oracle does NOT replay the regex chain: it predicts
+    * the extracted text analytically ("Doc id Doc id <text> next…",
+    * whitespace-collapsed), so a tag-strip bug that leaked script
+    * bodies, swallowed prose, or double-decoded entities (`&amp;` is
+    * escaped on the way in, so decode order is exercised on every row)
+    * breaks the md5 even though both engines agree on regex syntax.
+    */
+  val htmlExtract: Q = {
+    Q(
+      "x43_html_extract",
+      """WITH p AS (SELECT doc_id,
+        |    trim(regexp_replace('Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text ||
+        |      repeat(' next', CAST(doc_id % 5 AS INT)), '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, 'Doc ' || doc_id AS title,
+        |  CAST(doc_id % 5 AS INT) AS n_links,
+        |  CAST(length(cleaned) AS INT) AS text_len,
+        |  md5(cleaned) AS text_md5
+        |FROM p""".stripMargin) { (s, dir) =>
+      import graft.text.HtmlExtract
+      val esc = replace(
+        replace(
+          replace(col("text"), lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val anchors = array_join(
+        array_repeat(lit("<a href=\"http://example.com/n\">next</a>"),
+          (col("doc_id") % 5).cast("int")), "")
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+          lit("</title><style type=\"text/css\">body { color: #fff; }\n.x > .y { margin: 0 }</style>"),
+          lit("<script>var n = "), col("doc_id"),
+          lit("; if (n > 1) { emit(\"<p>leak</p>\"); }</script></head>"),
+          lit("<body><!-- gen "), col("doc_id"), lit(" --><h1>Doc&nbsp;"), col("doc_id"),
+          lit("</h1><p>"), esc, lit("</p>"), anchors,
+          lit("</body></html>")).as("html"))
+      html.select(col("doc_id"),
+        HtmlExtract.htmlTitle(col("html")).as("title"),
+        HtmlExtract.linkCount(col("html")).as("n_links"),
+        length(HtmlExtract.htmlToText(col("html"))).cast("int").as("text_len"),
+        md5(HtmlExtract.htmlToText(col("html"))).as("text_md5"))
+    }
+  }
+
   /** Corpus-trained bigram-LM cross-entropy per document
     * (LangModel.crossEntropy) — the CCNet perplexity-filter signal,
     * with the KenLM replaced by an interpolated bigram model trained
@@ -1990,5 +2040,5 @@ object TextQueries {
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
-    phraseSearch, urlCanonical, gopherGates)
+    phraseSearch, urlCanonical, gopherGates, htmlExtract)
 }
