@@ -372,7 +372,64 @@ object MultimodalQueries {
         col("color_type"), col("interlace"), col("text_meta"))
   }
 
+  /** WARC record extraction (sources/Warc.scala): documents are packed
+    * 16-per-file into deterministic WARC files — warcinfo + per-doc
+    * response records (404 every 13th doc), request records interleaved
+    * every 5th doc, packaging rotating plain / whole-file gzip /
+    * per-record gzip members (the Common Crawl layout), and every
+    * file_id % 10 == 7 file truncated mid-payload of its last record.
+    * Parsed back leniently; the oracle reconstructs every WARC and HTTP
+    * field relationally — Content-Length via octet_length of the exact
+    * HTTP header string plus the body, the lenient drop as "the corrupt
+    * file's max doc_id loses its response row (but keeps its request
+    * row, which precedes the cut)". Identical output across the three
+    * packagings IS part of the check: one gzip path diverging would
+    * break row counts per file.
+    */
+  val warcRecords: Q = Q(
+    "m13_warc_records",
+    """WITH d AS (SELECT doc_id, doc_id // 16 AS file_id, text FROM documents),
+      |mx AS (SELECT file_id, max(doc_id) AS mxid FROM d GROUP BY file_id),
+      |resp AS (
+      |  SELECT d.file_id, 'response' AS warc_type,
+      |    'http://example.com/doc/' || CAST(d.doc_id AS VARCHAR) AS target_uri,
+      |    CAST(CASE WHEN d.doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+      |    CAST(strlen(
+      |        (CASE WHEN d.doc_id % 13 = 0 THEN 'HTTP/1.1 404 Not Found'
+      |              ELSE 'HTTP/1.1 200 OK' END) || chr(13) || chr(10) ||
+      |        'Content-Type: text/html; charset=utf-8' ||
+      |        chr(13) || chr(10) || chr(13) || chr(10)) +
+      |      strlen(text) AS BIGINT) AS content_length,
+      |    md5(text) AS body_md5
+      |  FROM d JOIN mx USING (file_id)
+      |  WHERE NOT (d.file_id % 10 = 7 AND d.doc_id = mx.mxid)),
+      |req AS (
+      |  SELECT file_id, 'request' AS warc_type,
+      |    'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |    CAST(-1 AS INT) AS http_status,
+      |    CAST(strlen('GET /doc/' || CAST(doc_id AS VARCHAR) ||
+      |        ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example.com' ||
+      |        chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS content_length,
+      |    md5('') AS body_md5
+      |  FROM d WHERE doc_id % 5 = 0),
+      |info AS (
+      |  SELECT DISTINCT file_id, 'warcinfo' AS warc_type, '' AS target_uri,
+      |    CAST(-1 AS INT) AS http_status,
+      |    CAST(strlen('software: graft' || chr(13) || chr(10)) AS BIGINT)
+      |      AS content_length,
+      |    md5('software: graft' || chr(13) || chr(10)) AS body_md5
+      |  FROM d)
+      |SELECT * FROM resp UNION ALL SELECT * FROM req UNION ALL SELECT * FROM info""".stripMargin) {
+    (s, dir) =>
+      val blobs = graft.sources.Warc.syntheticWarcFiles(t(s, dir, "documents"), s)
+      graft.sources.Warc.extractRecords(blobs, s, lenient = true).toDF()
+        .select(col("file_id"), col("warc_type"),
+          coalesce(col("target_uri"), lit("")).as("target_uri"),
+          col("http_status"), col("content_length"),
+          md5(col("body")).as("body_md5"))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
-    mkvFrames, pngMeta)
+    mkvFrames, pngMeta, warcRecords)
 }
