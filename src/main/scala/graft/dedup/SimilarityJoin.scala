@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT similarity self-joins with sub-quadratic candidate generation —
+  * the lossless complements to the sketch family in [[Dedup]].
+  *
+  * MinHash/SimHash pairs (d2–d6) trade recall for volume; jaccardPairs'
+  * DF cap (d5) trades a documented sliver of exactness for straggler
+  * immunity. Sometimes the contract is "every pair above the threshold,
+  * exactly" — contamination audits, eval-set leakage, legal takedown
+  * sweeps — and the two joins here deliver that without ever going N²:
+  *
+  *   - [[prefixJaccardPairs]]: ALL pairs with word-set Jaccard ≥ t, via
+  *     prefix filtering (Bayardo, Ma & Srikant, WWW 2007, "Scaling up
+  *     all pairs similarity search"). Order every doc's tokens by a
+  *     global rare-first total order; if J(x,y) ≥ t then |x∩y| ≥
+  *     ⌈t·|x|⌉, so x and y MUST share a token inside their first
+  *     |x| − ⌈t·|x|⌉ + 1 tokens — candidates are an equi-join on
+  *     prefix tokens only. Rare-first is the efficiency half: a corpus
+  *     stop word lands in a doc's prefix only when the doc has almost
+  *     nothing rarer, so the hot-key postings that force d5's cap
+  *     simply never enter the join.
+  *   - [[editDistancePairs]]: ALL pairs with Levenshtein ≤ 1, via the
+  *     FastSS/SymSpell deletion neighborhood (Bocek et al., 2007): two
+  *     strings within edit distance 1 share a member of
+  *     {s} ∪ single-char-deletions(s), so candidates are an equi-join
+  *     on ≤ len+1 keys per string, verified with the builtin
+  *     codegen'd `levenshtein`.
+  *
+  * Scale shape, both joins: candidate generation is a map-side explode
+  * (Σ prefix/neighborhood sizes, linear in corpus tokens), one
+  * equi-join shuffle on the candidate key, one pair-distinct shuffle,
+  * and a map-side exact verify. Token arrays ride through the join
+  * (the measured carry-the-payload default — SCALE.md "LSH
+  * pair-generation payload tradeoff"); nothing materializes N².
+  */
+object SimilarityJoin {
+
+  /** All pairs with distinct-word-set Jaccard ≥ `minJaccard`, exactly.
+    *
+    * `minJaccard` should be exactly representable in binary (0.5, 0.25,
+    * 0.75) so ⌈t·n⌉ never rounds through float fuzz — the prefix-length
+    * arithmetic is the one place where an epsilon would silently cost
+    * recall rather than fail loudly.
+    *
+    * Output: (doc1, doc2, jaccard), doc1 < doc2, each qualifying pair
+    * exactly once.
+    */
+  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    prefixJaccardPairsOver(
+      docs.select(col(idCol).as("doc_id"),
+          explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        .filter(col("tok") =!= ""),
+      minJaccard)
+
+  /** The core over an arbitrary pre-tokenized (doc_id, tok) relation —
+    * whitespace words, shingles ([[Dedup.shingles]]), hostnames,
+    * whatever set universe the dedup contract names. Rows must be
+    * distinct per (doc_id, tok); Jaccard is over the induced sets.
+    */
+  def prefixJaccardPairsOver(toks: DataFrame, minJaccard: Double): DataFrame = {
+    // df via a window over the token partition, not agg-then-join: the
+    // window's one exchange leaves the stream partitioned on tok and
+    // the token stream is never shuffled a second time to meet its own
+    // aggregate (the jaccardPairs discipline, Dedup.scala)
+    val withDf = toks.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    // the global total order is (df, tok) ITSELF — consistent across
+    // docs without materializing a rank (no vocabulary-wide window)
+    val ordered = withDf
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t("tok")).as("toks"),
+        size(col("ts")).as("n"))
+    val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    val pref = ordered
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val cand = pref.select(col("doc_id").as("doc1"), col("toks").as("t1"),
+        col("n").as("n1"), col("tok"))
+      .join(pref.select(col("doc_id").as("doc2"), col("toks").as("t2"),
+        col("n").as("n2"), col("tok")), Seq("tok"))
+      // length filter (AllPairs §3.1): J ≥ t forces min(n1,n2) ≥
+      // t·max(n1,n2) — kill size-mismatched meets before they pay the
+      // pair-dedup shuffle with their array payloads
+      .filter(col("doc1") < col("doc2") &&
+        col("n2") >= lit(minJaccard) * col("n1") &&
+        col("n1") >= lit(minJaccard) * col("n2"))
+      // a pair can meet on several prefix tokens; t1/t2 are functionally
+      // dependent on the ids, so any survivor carries the right arrays
+      .dropDuplicates("doc1", "doc2")
+    val jac = size(array_intersect(col("t1"), col("t2"))).cast("double") /
+      size(array_union(col("t1"), col("t2"))).cast("double")
+    cand.select(col("doc1"), col("doc2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** All pairs with Levenshtein distance ≤ 1 (0 = distinct rows with
+    * equal strings), exactly. Deletion depth 1 ships because ed ≤ 1 is
+    * the entity-resolution workhorse (typo'd names, off-by-one ids);
+    * the same construction extends to ed ≤ k with C(len, k) keys per
+    * string.
+    *
+    * Bucket sizes are bounded by the number of strings within one edit
+    * of a shared subsequence — alphabet × length shaped, never
+    * corpus-shaped — so the candidate join inherits no hot key from
+    * corpus-frequency skew (unlike token blocking on a common prefix).
+    *
+    * Output: (id1, id2, dist), id1 < id2.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) > 0)
+    val s = col("s")
+    val deletions = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val keyed = base.select(col("id"), s,
+      explode(array_union(array(s), deletions)).as("k"))
+    keyed.select(col("id").as("id1"), s.as("s1"), col("k"))
+      .join(keyed.select(col("id").as("id2"), s.as("s2"), col("k")), Seq("k"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"), levenshtein(col("s1"), col("s2")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+}

@@ -1712,6 +1712,62 @@ object TextQueries {
     }
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering
+    * (SimilarityJoin.prefixJaccardPairsOver, the Bayardo–Ma–Srikant
+    * AllPairs bound): every pair with 3-gram-shingle-set Jaccard ≥ 0.5,
+    * candidates generated only from each doc's rare-first prefix —
+    * d5's universe with NO df cap and no recall caveat; the claim is
+    * exactness. The oracle computes ground truth with an uncapped
+    * inverted-index join, so a prefix one token too short (the
+    * float-ceil recall trap the scaladoc warns about) surfaces as a
+    * missing row, not a silent recall loss. Shingle sets (not word
+    * sets) because the synthetic corpus shares one small vocabulary:
+    * word-set Jaccard ≥ 0.5 holds for ~2/3 of ALL doc pairs — a
+    * threshold join over that universe is quadratic by construction,
+    * no algorithm can save it, and picking the discriminative universe
+    * is part of the operator's contract.
+    */
+  val prefixJaccard: Q = Q(
+    "d14_prefix_jaccard",
+    s"""WITH corpus AS ($corpusSql),
+       |w AS (SELECT DISTINCT doc_id, shingle AS tok
+       |      FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc1, doc2,
+       |  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc1 = sa.doc_id
+       |JOIN sizes sb ON doc2 = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5""".stripMargin) {
+    (s, dir) =>
+      val sh = Dedup.shingles(corpus(s, dir))
+        .select(col("doc_id"), col("shingle").as("tok")).distinct()
+      graft.dedup.SimilarityJoin.prefixJaccardPairsOver(sh, minJaccard = 0.5)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** EXACT Levenshtein ≤ 1 self-join via the FastSS/SymSpell deletion
+    * neighborhood (SimilarityJoin.editDistancePairs) over supplier
+    * names — the entity-resolution join (off-by-one ids, typo'd names).
+    * The oracle is the naive N² levenshtein join, safe at oracle scale;
+    * agreement proves the deletion-neighborhood blocking loses no pair
+    * (the FastSS k=1 completeness theorem) and that both engines'
+    * levenshtein agree on unit costs.
+    */
+  val editDistPairs: Q = Q(
+    "d15_editdist_pairs",
+    """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin) { (s, dir) =>
+    graft.dedup.SimilarityJoin.editDistancePairs(
+      t(s, dir, "supplier"), strCol = "s_name", idCol = "s_suppkey")
+  }
+
   /** Corpus-trained bigram-LM cross-entropy per document
     * (LangModel.crossEntropy) — the CCNet perplexity-filter signal,
     * with the KenLM replaced by an interpolated bigram model trained
@@ -2040,5 +2096,6 @@ object TextQueries {
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
-    phraseSearch, urlCanonical, gopherGates, htmlExtract)
+    phraseSearch, urlCanonical, gopherGates, htmlExtract,
+    prefixJaccard, editDistPairs)
 }
