@@ -396,6 +396,72 @@ object ScaleSoak {
           "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
       graft.graph.Graph.pageRank(edges, iterations = 3).count()
     }
+    // range-built frames carry tiny size estimates, so any stage whose
+    // join sides are actually corpus-sized must forbid broadcast or the
+    // planner materializes multi-GB "small" sides on the driver (the
+    // lsh payload stages hit this first; prefix_jaccard's 500k run died
+    // on an attempted 10 GiB broadcast of the prefix stream)
+    def noBroadcast(f: => Long): Long = {
+      // capture each key's own prior state and restore EXACTLY it —
+      // unset keys go back to unset (so Spark's built-in defaults keep
+      // governing later stages), not to a literal fallback value
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, "-1"))
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // explicit-only growth probes for the session-9 operators.
+    probed("prefix_jaccard") {
+      // EXACT threshold join vs clean_jaccard's capped one, same corpus:
+      // the soak's corpus-hot shingles ("and of note", df = 0.96·N) are
+      // the stop-phrase keys that forced the df cap — under prefix
+      // filtering they enter a doc's prefix only when the doc has
+      // almost nothing rarer, so the hot postings never reach the join
+      // and no cap (hence no recall caveat) is needed. Candidate volume
+      // should track the planted near-dup density, linearly in N.
+      val sh = graft.dedup.Dedup.shingles(corpus)
+        .select(col("doc_id"), col("shingle").as("tok")).distinct()
+      noBroadcast(
+        graft.dedup.SimilarityJoin.prefixJaccardPairsOver(sh, minJaccard = 0.5).count())
+    }
+    probed("editdist_pairs") {
+      // 16-hex-char entity names, one planted 1-char typo per 20 ids:
+      // deletion-neighborhood keys are 17·N with bucket sizes ~2 (random
+      // hex shares almost no subsequences), so candidates ≈ planted
+      // pairs and the join is output-bound — the blocking claim at N
+      val names = spark.range(docs).selectExpr(
+        "id", "hex(xxhash64(id, 3)) AS name")
+      val typos = spark.range(docs).filter(col("id") % 20 === 0)
+        .selectExpr("id + 1000000000 AS id",
+          // substitute the first char with one outside the hex alphabet
+          "concat('Z', substr(hex(xxhash64(id, 3)), 2)) AS name")
+      graft.dedup.SimilarityJoin.editDistancePairs(
+        names.unionByName(typos), "name", "id").count()
+    }
+    probed("warc_records") {
+      // build + parse: 16 docs/file, gzip on the driver-prescribed
+      // rotation; measures end-to-end container throughput (the build's
+      // groupByKey is the fixture's cost, the parse is map-side)
+      graft.sources.Warc.extractRecords(
+        graft.sources.Warc.syntheticWarcFiles(corpus, spark), spark,
+        lenient = true).count()
+    }
+    probed("html_extract") {
+      // pure map-side regex chain over a markup shell around each doc:
+      // the per-MB cost of extraction, no shuffle anywhere
+      import graft.text.HtmlExtract
+      val html = corpus.select(col("doc_id"),
+        concat(lit("<html><head><title>D"), col("doc_id"),
+          lit("</title><script>var x = 1;</script></head><body><p>"),
+          col("text"), lit("</p><a href=\"x\">n</a></body></html>")).as("h"))
+      html.select(length(HtmlExtract.htmlToText(col("h"))).as("n"))
+        .agg(sum(col("n"))).collect()
+      corpus.count()
+    }
     // ivfpq decomposition probes: the 2.5M run measured linear CPU
     // (4.3× for 5× data) concentrated in ~3 full-width uniform stages;
     // these attribute it to the components (coarse quantizer, codebook
@@ -434,19 +500,6 @@ object ScaleSoak {
     // planner into BROADCASTING the multi-GB banded frame — a plan a real
     // corpus-scale band join can never take (and whose driver
     // materialization cost swamps the thing being measured)
-    def noBroadcast(f: => Long): Long = {
-      // capture each key's own prior state and restore EXACTLY it —
-      // unset keys go back to unset (so Spark's built-in defaults keep
-      // governing later stages), not to a literal fallback value
-      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      val prev = keys.map(k => k -> spark.conf.getOption(k))
-      keys.foreach(spark.conf.set(_, "-1"))
-      try f finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
     timed("lsh_pairs_carry") {
       // vectors ride the band-key shuffle (2 exchanges, dim-wide rows):
       // paired with lsh_pairs_rejoin below, this measures the payload

@@ -77,25 +77,33 @@ object SimilarityJoin {
         transform(col("ts"), t => t("tok")).as("toks"),
         size(col("ts")).as("n"))
     val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    // the candidate join moves ONLY (doc_id, n, tok): exploding the
+    // prefix duplicates each row ~p times, so carrying the token array
+    // here would shuffle every doc's array once per prefix token — the
+    // 2.5M soak measured that shape at 27 GB shuffle + 40 GB spill,
+    // vs ~2 GB with bare candidates and arrays attached at verify
+    // (each doc's array crosses the wire once, doc-keyed). This is the
+    // opposite call from lshPairs' carry-the-vector default because the
+    // duplication factor differs: LSH bands carry per-band (constant,
+    // small), prefixes carry per-token (≈ (1−t)·|doc|).
     val pref = ordered
-      .select(col("doc_id"), col("toks"), col("n"),
+      .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-    val cand = pref.select(col("doc_id").as("doc1"), col("toks").as("t1"),
-        col("n").as("n1"), col("tok"))
-      .join(pref.select(col("doc_id").as("doc2"), col("toks").as("t2"),
-        col("n").as("n2"), col("tok")), Seq("tok"))
+    val cand = pref.select(col("doc_id").as("doc1"), col("n").as("n1"), col("tok"))
+      .join(pref.select(col("doc_id").as("doc2"), col("n").as("n2"), col("tok")), Seq("tok"))
       // length filter (AllPairs §3.1): J ≥ t forces min(n1,n2) ≥
       // t·max(n1,n2) — kill size-mismatched meets before they pay the
-      // pair-dedup shuffle with their array payloads
+      // pair-dedup shuffle
       .filter(col("doc1") < col("doc2") &&
         col("n2") >= lit(minJaccard) * col("n1") &&
         col("n1") >= lit(minJaccard) * col("n2"))
-      // a pair can meet on several prefix tokens; t1/t2 are functionally
-      // dependent on the ids, so any survivor carries the right arrays
       .dropDuplicates("doc1", "doc2")
+    val withArrays = cand
+      .join(ordered.select(col("doc_id").as("doc1"), col("toks").as("t1")), Seq("doc1"))
+      .join(ordered.select(col("doc_id").as("doc2"), col("toks").as("t2")), Seq("doc2"))
     val jac = size(array_intersect(col("t1"), col("t2"))).cast("double") /
       size(array_union(col("t1"), col("t2"))).cast("double")
-    cand.select(col("doc1"), col("doc2"), jac.as("jaccard"))
+    withArrays.select(col("doc1"), col("doc2"), jac.as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

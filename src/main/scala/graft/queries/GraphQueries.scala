@@ -88,5 +88,96 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(triangleCount, pageRankQ)
+  /** Clique-plus-chain fixture shared by g3/g4: the exact-dup 3-cliques
+    * of the tripled corpus (dense, survive any k=2 peel, coefficient 1)
+    * plus an 8-edge path over ids 1..9 of every 20-block (trees peel
+    * two ends per round, coefficient 0) — so peeling depth and
+    * transitivity both have non-trivial, predictable structure.
+    */
+  private val edgesSql =
+    s"""cx AS ($tripledSql),
+       |cl AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM cx a JOIN cx b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+       |ch AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+       |       WHERE doc_id % 20 BETWEEN 1 AND 8),
+       |e0 AS (SELECT src, dst FROM cl UNION ALL SELECT src, dst FROM ch)""".stripMargin
+
+  private def dupChainEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tripled = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val hashed = tripled.select(col("doc_id"), md5(col("text")).as("h"))
+    val cliques = hashed.as("a")
+      .join(hashed.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val chains = t(s, dir, "documents")
+      .filter(col("doc_id") % 20 >= 1 && col("doc_id") % 20 <= 8)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    cliques.unionByName(chains)
+  }
+
+  /** Synchronous k-core peeling, exactly 3 rounds at k = 2
+    * (Graph.kCorePeel): the 3-cliques are their own 2-core and never
+    * peel; each 9-node path loses its two endpoints per round, so after
+    * 3 rounds exactly the middle 3 nodes / 2 edges remain — the oracle
+    * unrolls the same three degree-filter-project rounds as CTE layers,
+    * pinning the ROUND semantics (a fixpoint implementation would
+    * return a different, fully-peeled state).
+    */
+  val kCorePeelQ: Q = {
+    val roundSql = (i: Int) =>
+      s"""d$i AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT src AS node FROM e$i UNION ALL SELECT dst AS node FROM e$i) GROUP BY node),
+         |k$i AS (SELECT node FROM d$i WHERE deg >= 2),
+         |e${i + 1} AS (SELECT src, dst FROM e$i
+         |  WHERE src IN (SELECT node FROM k$i) AND dst IN (SELECT node FROM k$i))""".stripMargin
+    Q(
+      "g3_kcore_peel",
+      s"""WITH $edgesSql,
+         |${roundSql(0)},
+         |${roundSql(1)},
+         |${roundSql(2)}
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT src AS node FROM e3 UNION ALL SELECT dst AS node FROM e3)
+         |GROUP BY node""".stripMargin) { (s, dir) =>
+      Graph.degrees(Graph.kCorePeel(dupChainEdges(s, dir), k = 2, rounds = 3))
+    }
+  }
+
+  /** Per-node local clustering coefficient
+    * (Graph.clusteringCoefficient): clique nodes are perfectly
+    * transitive (coeff 1), path nodes are 0 at any degree — the oracle
+    * recomputes triangles with the naive 3-way join and the same exact
+    * rational. Distinguishing template communities (high coeff) from
+    * hub artifacts (high degree, low coeff) is the similarity-graph
+    * triage this feeds.
+    */
+  val clusteringCoeffQ: Q = Q(
+    "g4_clustering_coeff",
+    s"""WITH $edgesSql,
+       |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |        FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src
+       |        JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |tv AS (SELECT node, count(*) AS triangles FROM (
+       |        SELECT x AS node FROM tri
+       |        UNION ALL SELECT y AS node FROM tri
+       |        UNION ALL SELECT z AS node FROM tri) GROUP BY node),
+       |dg AS (SELECT node, count(*) AS deg FROM (
+       |        SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)
+       |       GROUP BY node)
+       |SELECT dg.node, CAST(dg.deg AS BIGINT) AS degree,
+       |  CAST(coalesce(tv.triangles, 0) AS BIGINT) AS triangles,
+       |  round(CASE WHEN dg.deg < 2 THEN 0.0
+       |        ELSE 2.0 * coalesce(tv.triangles, 0) / (dg.deg * (dg.deg - 1))
+       |        END, 6) AS coeff
+       |FROM dg LEFT JOIN tv USING (node)""".stripMargin) { (s, dir) =>
+    Graph.clusteringCoefficient(dupChainEdges(s, dir))
+      .select(col("node"), col("degree"), col("triangles"),
+        round(col("coeff"), 6).as("coeff"))
+  }
+
+  val all: Seq[Q] = Seq(triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ)
 }

@@ -76,4 +76,45 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(edges.repartition(7), 3).as[(Long, Long)].collect().toMap
     a shouldBe b
   }
+
+  behavior of "Graph.kCorePeel / kCore"
+
+  // triangle {1,2,3} plus a tail 3-4-5-6: the triangle is the 2-core;
+  // the tail peels one node per round from the free end
+  private val coreEdges = edgesDf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+
+  it should "peel exactly one frontier per round" in {
+    def nodes(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Graph.degrees(df).select($"node").as[Long].collect().toSet
+    nodes(Graph.kCorePeel(coreEdges, 2, 1)) shouldBe Set(1L, 2L, 3L, 4L, 5L) // 6 dropped
+    nodes(Graph.kCorePeel(coreEdges, 2, 2)) shouldBe Set(1L, 2L, 3L, 4L)     // then 5
+    nodes(Graph.kCorePeel(coreEdges, 2, 3)) shouldBe Set(1L, 2L, 3L)         // then 4
+  }
+
+  it should "converge to the maximal k-core, not the first stable-looking prefix" in {
+    val core = Graph.kCore(coreEdges, 2)
+      .as[(Long, Long)].collect().toSet
+    core shouldBe Set((1L, 2L), (2L, 3L), (1L, 3L))
+    // 3-core of a triangle is empty
+    Graph.kCore(coreEdges, 3).count() shouldBe 0L
+  }
+
+  it should "throw rather than return a half-peeled graph when maxIter is too small" in {
+    intercept[IllegalStateException] {
+      Graph.kCore(coreEdges, 2, maxIter = 1)
+    }
+  }
+
+  behavior of "Graph.clusteringCoefficient"
+
+  it should "score cliques 1, paths 0, and mixed nodes by the exact rational" in {
+    // triangle {1,2,3} with a pendant 4 on node 3
+    val g = edgesDf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val m = Graph.clusteringCoefficient(g)
+      .select($"node", $"coeff").as[(Long, Double)].collect().toMap
+    m(1L) shouldBe 1.0
+    m(2L) shouldBe 1.0
+    m(3L) shouldBe (1.0 / 3.0) +- 1e-12 // one triangle over C(3,2) wedges
+    m(4L) shouldBe 0.0                  // degree 1 → defined as 0
+  }
 }
