@@ -428,6 +428,28 @@ object ScaleSoak {
       noBroadcast(
         graft.dedup.SimilarityJoin.prefixJaccardPairsOver(sh, minJaccard = 0.5).count())
     }
+    probed("prefix_jaccard_occupancy") {
+      // diagnostic for the 2.5M straggler: the candidate join's cost is
+      // Σ occupancy² over PREFIX postings per token — this names the
+      // hot keys (prints top-5 tokens by prefix-posting count) without
+      // running the join
+      val sh = graft.dedup.Dedup.shingles(corpus)
+        .select(col("doc_id"), col("shingle").as("tok")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      val withDf = sh.withColumn("df", count(lit(1)).over(w))
+      val ordered = withDf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+        .select(col("doc_id"),
+          transform(col("ts"), t => t("tok")).as("toks"), size(col("ts")).as("n"))
+      val prefixLen = (col("n") - ceil(lit(0.5) * col("n")) + 1).cast("int")
+      val occ = ordered
+        .select(explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("postings"))
+      occ.orderBy(col("postings").desc).limit(5).collect()
+        .foreach(r => System.err.println(
+          s"[soak] prefix posting hot: '${r.getString(0)}' -> ${r.getLong(1)}"))
+      occ.agg(sum(col("postings") * col("postings"))).head().getLong(0)
+    }
     probed("editdist_pairs") {
       // 16-hex-char entity names, one planted 1-char typo per 20 ids:
       // deletion-neighborhood keys are 17·N with bucket sizes ~2 (random

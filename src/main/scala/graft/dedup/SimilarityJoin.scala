@@ -62,35 +62,50 @@ object SimilarityJoin {
     * distinct per (doc_id, tok); Jaccard is over the induced sets.
     */
   def prefixJaccardPairsOver(toks: DataFrame, minJaccard: Double): DataFrame = {
-    // df via a window over the token partition, not agg-then-join: the
-    // window's one exchange leaves the stream partitioned on tok and
-    // the token stream is never shuffled a second time to meet its own
-    // aggregate (the jaccardPairs discipline, Dedup.scala)
-    val withDf = toks.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
-    // the global total order is (df, tok) ITSELF — consistent across
-    // docs without materializing a rank (no vocabulary-wide window)
-    val ordered = withDf
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+    // the global rare-first total order is carried as ONE STRING per
+    // token: zero-padded df ++ tok. Two measured pathologies at 2.5M
+    // docs forced this encoding (SCALE.md "prefix_jaccard shape"):
+    //   - df via window-over-token ran at ~1 row per window GROUP — 36
+    //     us/row of per-group frame machinery, 3100 task-seconds; a
+    //     combinable hash agg + equi-join computes the same df for a
+    //     fraction of that;
+    //   - sort_array over struct(df, tok) elements falls to interpreted
+    //     struct ordering (~1 ms/doc); the same order over the padded
+    //     string key is a binary UTF8 sort.
+    // The key is injective in tok (df is a function of tok), so set
+    // intersections/unions over KEYS equal those over tokens and the
+    // verify never needs the raw token back.
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val keyed = toks.join(dfreq, "tok")
       .select(col("doc_id"),
-        transform(col("ts"), t => t("tok")).as("toks"),
-        size(col("ts")).as("n"))
+        concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("k"))
+    val ordered = keyed
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
     val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
-    // the candidate join moves ONLY (doc_id, n, tok): exploding the
-    // prefix duplicates each row ~p times, so carrying the token array
+    // the candidate join moves ONLY (doc_id, n, key): exploding the
+    // prefix duplicates each row ~p times, so carrying the key array
     // here would shuffle every doc's array once per prefix token — the
     // 2.5M soak measured that shape at 27 GB shuffle + 40 GB spill,
     // vs ~2 GB with bare candidates and arrays attached at verify
     // (each doc's array crosses the wire once, doc-keyed). This is the
     // opposite call from lshPairs' carry-the-vector default because the
     // duplication factor differs: LSH bands carry per-band (constant,
-    // small), prefixes carry per-token (≈ (1−t)·|doc|).
+    // small), prefixes carry per-token (~ (1−t)·|doc|).
+    // df = 1 prefix keys can never meet anything, and the shared token
+    // of any qualifying pair has df ≥ 2 and sits inside BOTH prefixes
+    // (the prefix theorem), so dropping singletons here loses no pair
+    // while collapsing the candidate join's input to only keys that can
+    // actually collide — in a mostly-unique shingle universe that is
+    // almost all of the explode volume
+    val singletonPrefix = "0" * 9 + "1"
     val pref = ordered
       .select(col("doc_id"), col("n"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-    val cand = pref.select(col("doc_id").as("doc1"), col("n").as("n1"), col("tok"))
-      .join(pref.select(col("doc_id").as("doc2"), col("n").as("n2"), col("tok")), Seq("tok"))
+        explode(filter(slice(col("ks"), lit(1), prefixLen),
+          k => !k.startsWith(singletonPrefix))).as("k"))
+    val cand = pref.select(col("doc_id").as("doc1"), col("n").as("n1"), col("k"))
+      .join(pref.select(col("doc_id").as("doc2"), col("n").as("n2"), col("k")), Seq("k"))
       // length filter (AllPairs §3.1): J ≥ t forces min(n1,n2) ≥
       // t·max(n1,n2) — kill size-mismatched meets before they pay the
       // pair-dedup shuffle
@@ -99,8 +114,8 @@ object SimilarityJoin {
         col("n1") >= lit(minJaccard) * col("n2"))
       .dropDuplicates("doc1", "doc2")
     val withArrays = cand
-      .join(ordered.select(col("doc_id").as("doc1"), col("toks").as("t1")), Seq("doc1"))
-      .join(ordered.select(col("doc_id").as("doc2"), col("toks").as("t2")), Seq("doc2"))
+      .join(ordered.select(col("doc_id").as("doc1"), col("ks").as("t1")), Seq("doc1"))
+      .join(ordered.select(col("doc_id").as("doc2"), col("ks").as("t2")), Seq("doc2"))
     val jac = size(array_intersect(col("t1"), col("t2"))).cast("double") /
       size(array_union(col("t1"), col("t2"))).cast("double")
     withArrays.select(col("doc1"), col("doc2"), jac.as("jaccard"))

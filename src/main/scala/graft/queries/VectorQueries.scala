@@ -566,7 +566,35 @@ object VectorQueries {
     graft.ann.Pca.covariance(emb(s, dir), dim = 64)
   }
 
+  /** Johnson–Lindenstrauss random projection
+    * (RandomProjection.project): 64 → 8 dims through the deterministic
+    * md5-sign ±1/√8 matrix — the data-independent reduction (no fit
+    * pass, unlike v14's PCA). The oracle REBUILDS the matrix in SQL
+    * from the same "rp:j:i" md5 strings and replays the projection
+    * relationally, so matrix generation and fold agree cross-engine;
+    * rounding to 6 dp absorbs the two engines' summation-order
+    * difference (64 O(1) terms — error ~1e-14).
+    */
+  val randomProjection: Q = Q(
+    "v15_random_projection",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |x AS (SELECT vec_id, i, ev[i] AS v
+      |      FROM (SELECT vec_id, ev, unnest(range(1, len(ev) + 1)) AS i FROM e)),
+      |s AS (SELECT j, i,
+      |    (CASE WHEN substr(md5('rp:' || CAST(j - 1 AS VARCHAR) || ':' ||
+      |          CAST(i - 1 AS VARCHAR)), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END) / sqrt(8) AS w
+      |  FROM (SELECT unnest(range(1, 9)) AS j)
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i))
+      |SELECT vec_id, CAST(j AS INT) AS j, round(sum(w * v), 6) AS comp
+      |FROM x JOIN s USING (i) GROUP BY vec_id, j""".stripMargin) { (s, dir) =>
+    graft.ann.RandomProjection.project(emb(s, dir), dimIn = 64, dimOut = 8)
+      .select(col("vec_id"), posexplode(col("projected")).as(Seq("p", "comp")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("j"),
+        round(col("comp"), 6).as("comp"))
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
     kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup,
-    pqCodes, pqAdcTopK, pqRerank, ivfPq, covarianceMatrix)
+    pqCodes, pqAdcTopK, pqRerank, ivfPq, covarianceMatrix, randomProjection)
 }
