@@ -1712,6 +1712,34 @@ object TextQueries {
     }
   }
 
+  /** Corpus snapshot diff (CorpusDiff.diff): the after-version drops
+    * every 13th doc, rewrites every 7th, and adds a fresh doc per 10th
+    * id — the oracle replays the mutation rules as a CASE (removed wins
+    * over changed when both divide, because a dropped doc's content
+    * never gets compared). Content equality travels as md5 hashes
+    * through one full-outer join; text never shuffles.
+    */
+  val corpusDiff: Q = Q(
+    "x44_corpus_diff",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'removed'
+      |       WHEN doc_id % 7 = 0 THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+    val before = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val after = before
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(before.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.pipelines.CorpusDiff.diff(before, after)
+  }
+
   /** EXACT Jaccard-threshold self-join via prefix filtering
     * (SimilarityJoin.prefixJaccardPairsOver, the Bayardo–Ma–Srikant
     * AllPairs bound): every pair with 3-gram-shingle-set Jaccard ≥ 0.5,
@@ -2097,5 +2125,5 @@ object TextQueries {
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
-    prefixJaccard, editDistPairs)
+    prefixJaccard, editDistPairs, corpusDiff)
 }
