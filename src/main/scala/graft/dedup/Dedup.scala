@@ -579,6 +579,55 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("start1"), col("start2"), col("span_tokens"))
   }
 
+  /** Remove later occurrences of cross-document duplicate spans — the
+    * cleaning step of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): [[exactDupSpans]] finds every
+    * k-token run shared between two documents; this cuts each span's
+    * SECOND occurrence (the higher doc id, so one copy always survives
+    * and a clique of n copies keeps exactly its lowest-id member's
+    * text) and reassembles the surviving tokens.
+    *
+    * Per-document work after the span join: cut intervals are merged
+    * with a per-doc running-max window (interval count is bounded by
+    * doc length, never corpus-shaped), the merged set rides one
+    * doc-keyed join as a small struct array, and token filtering is a
+    * positional higher-order lambda — no token-level shuffle, text
+    * crosses the wire once. Intra-document repetition is a different
+    * operator ([[graft.text.TextQuality]] repetition rules); spans here
+    * are cross-doc by construction (doc1 < doc2).
+    *
+    * Output: (doc_id, n_kept, clean_text) for EVERY input document —
+    * uncut docs pass through whole; a fully-duplicated doc keeps zero
+    * tokens and an empty string.
+    */
+  def removeDupSpans(docs: DataFrame, k: Int = 20, maxWindowDf: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = exactDupSpans(docs, k, maxWindowDf, textCol, idCol)
+    val cuts = spans.select(col("doc2").as("doc_id"), col("start2").as("s"),
+      (col("start2") + col("span_tokens")).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val pmax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = cuts
+      .withColumn("newg",
+        when(pmax.isNull || col("s") > pmax, lit(1)).otherwise(lit(0)))
+      .withColumn("g", sum(col("newg")).over(wOrd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("ivs").isNull, col("w")).otherwise(
+          filter(col("w"), (_, i) =>
+            !exists(col("ivs"), iv => i + 1 >= iv("s") && i + 1 < iv("e"))))
+          .as("kept"))
+      .select(col("doc_id"), size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
     * the corpus by a blocking key and compare each document only with its
     * next `windowSize − 1` neighbors in sort order — candidate volume is

@@ -2018,6 +2018,65 @@ object TextQueries {
     Dedup.exactDupSpans(corpus(s, dir), k = 20, maxWindowDf = 10)
   }
 
+  /** Duplicate-span REMOVAL (Dedup.removeDupSpans — the Lee et al. 2022
+    * cleaning step on top of x36's span finder): every cross-doc
+    * duplicate k-token run loses its higher-doc-id occurrence, cut
+    * intervals are merged per doc, survivors reassemble. The oracle
+    * replays the whole chain — spans, interval merge (running-max
+    * islands), positional cut, reassembly — and returns EVERY doc (the
+    * planted near-dup copies come back nearly empty, their originals
+    * untouched), so keep-first semantics and the merge arithmetic are
+    * both pinned cross-engine.
+    */
+  val spanRemoval: Q = Q(
+    "x45_span_removal",
+    s"""WITH c AS ($corpusSql),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM c),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    substr(md5(array_to_string(w[i:i+19], ' ')), 1, 16) AS h
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+       |        FROM wt WHERE len(w) >= 20)),
+       |hot AS (SELECT h FROM (
+       |  SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY h) WHERE df > 10),
+       |idx AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
+       |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.pos AS pos1, b.pos AS pos2
+       |      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc1, doc2, pos1 - pos2 AS d, pos1, pos2,
+       |        pos1 - row_number() OVER (PARTITION BY doc1, doc2, pos1 - pos2
+       |                                  ORDER BY pos1) AS island
+       |        FROM m),
+       |spans AS (
+       |  SELECT doc1, doc2, min(pos1) AS start1, min(pos2) AS start2,
+       |    count(*) + 19 AS span_tokens
+       |  FROM isl GROUP BY doc1, doc2, d, island),
+       |cuts AS (SELECT doc2 AS doc_id, start2 AS s, start2 + span_tokens AS e FROM spans),
+       |co AS (SELECT doc_id, s, e,
+       |       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |       FROM cuts),
+       |cg AS (SELECT doc_id, s, e,
+       |       sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+       |       FROM co),
+       |mi AS (SELECT doc_id, g, min(s) AS s, max(e) AS e FROM cg GROUP BY doc_id, g),
+       |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+       |         FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM wt)),
+       |kept AS (SELECT t.doc_id, t.i, t.tok
+       |         FROM toks t LEFT JOIN mi
+       |           ON t.doc_id = mi.doc_id AND t.i >= mi.s AND t.i < mi.e
+       |         WHERE mi.doc_id IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |        string_agg(tok, ' ' ORDER BY i) AS txt
+       |        FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+       |  md5(coalesce(agg.txt, '')) AS clean_md5
+       |FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.removeDupSpans(corpus(s, dir), k = 20, maxWindowDf = 10)
+      .select(col("doc_id"), col("n_kept").cast("int").as("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
   /** Exact corpus quantiles via histogram rank selection (core.Stats):
     * p50/p90/p99 of document length without a global sort — the corpus
     * scan reduces map-side to a value histogram, the cumulative window
@@ -2125,5 +2184,5 @@ object TextQueries {
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
-    prefixJaccard, editDistPairs, corpusDiff)
+    prefixJaccard, editDistPairs, corpusDiff, spanRemoval)
 }

@@ -269,4 +269,22 @@ class DedupSpec extends SparkSpec {
     at(1) shouldBe at(2)
     at(2) shouldBe at(3)
   }
+
+  behavior of "removeDupSpans"
+
+  it should "cut second occurrences, merge overlapping intervals, and keep first copies whole" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),    // lowest id — every span's first copy, untouched
+      (4L, "m n o p"),        // shares nothing
+      (9L, "q a b c s t u"),  // shares "a b c" with 1 → loses tokens 2-4
+      (10L, "p q a b c d r")  // spans from 1 ([3,7)) and 9 ([2,5)) OVERLAP → merged [2,7)
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.removeDupSpans(docs, k = 3, maxWindowDf = 10)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L) shouldBe ((6, "a b c d e f"))
+    got(4L) shouldBe ((4, "m n o p"))
+    got(9L) shouldBe ((4, "q s t u"))
+    got(10L) shouldBe ((2, "p r"))
+  }
 }
