@@ -133,6 +133,40 @@ object Graph {
       s"k-core did not converge in $maxIter rounds ($n edges remaining)")
   }
 
+  /** Fixed-round BFS distances from a seed set over the undirected edge
+    * list — the seed-propagation primitive (distance-from-trusted-
+    * domains is a standard crawl quality signal; distance-from-known-
+    * contamination the standard audit one). Returns (node, dist) for
+    * every node within `rounds` hops of a seed; unreached nodes are
+    * absent, seeds are distance 0, and a node reachable several ways
+    * gets the minimum.
+    *
+    * Per round: one equi-join of the frontier-so-far against the
+    * adjacency plus one combinable min — edge-linear, hub-safe (a hub's
+    * in-edges meet in a map-side-combinable min, never a cross
+    * product). Rounds eager-checkpoint and free the superseded
+    * generation (the [[kCorePeel]] discipline: the distance frame is
+    * read by the next round's join AND union, so an un-cut lineage
+    * doubles per round).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true, ser)
+    for (_ <- 1 to rounds) {
+      val next = und.join(dist, und("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true, ser)
+      graft.core.Checkpoints.unpersistCheckpoint(dist)
+      dist = next
+    }
+    dist
+  }
+
   /** Per-node local clustering coefficient over the undirected edge
     * list: 2·t(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 nodes. High
     * transitivity marks template communities (everything near-dups

@@ -179,5 +179,38 @@ object GraphQueries {
         round(col("coeff"), 6).as("coeff"))
   }
 
-  val all: Seq[Q] = Seq(triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ)
+  /** Fixed-round BFS (Graph.bfsDistances, 3 rounds) over the g3
+    * clique-plus-chain fixture, seeded with every 20-block's clique
+    * original AND its chain head: clique copies resolve to distance 1,
+    * chain nodes to their path distance capped by the round budget
+    * (node 4 of each chain reaches exactly 3; 5..9 stay unreached and
+    * absent), and the min-over-paths semantics is pinned by nodes
+    * adjacent to two seeds. The oracle unrolls the same three
+    * frontier-join-min rounds as CTE layers.
+    */
+  val bfsQ: Q = {
+    val roundSql = (i: Int) =>
+      s"""r${i + 1} AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM r$i
+         |  UNION ALL
+         |  SELECT u.dst AS node, d.dist + 1 AS dist
+         |  FROM und u JOIN r$i d ON u.src = d.node) GROUP BY node)""".stripMargin
+    Q(
+      "g5_bfs_distances",
+      s"""WITH $edgesSql,
+         |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |r0 AS (SELECT DISTINCT doc_id AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM documents WHERE doc_id % 20 IN (0, 1)),
+         |${roundSql(0)},
+         |${roundSql(1)},
+         |${roundSql(2)}
+         |SELECT node, dist FROM r3""".stripMargin) { (s, dir) =>
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 <= 1)
+        .select(col("doc_id").as("node"))
+      Graph.bfsDistances(dupChainEdges(s, dir), seeds, rounds = 3)
+    }
+  }
+
+  val all: Seq[Q] = Seq(triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ, bfsQ)
 }

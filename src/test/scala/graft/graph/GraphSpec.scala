@@ -105,6 +105,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  behavior of "Graph.bfsDistances"
+
+  it should "expand one hop per round, keep minima, and omit unreached nodes" in {
+    // path 1-2-3-4-5-6 plus a shortcut 1-4: node 4 is 1 hop via the
+    // shortcut (not 3 via the path); 6 is unreachable in 2 rounds
+    val g = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+    val seeds = Seq(1L).toDF("node")
+    val m = Graph.bfsDistances(g, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    m shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L)
+  }
+
+  it should "treat edges as undirected and dedupe seed rows" in {
+    val g = edgesDf((10L, 20L))
+    val m = Graph.bfsDistances(g, Seq(20L, 20L).toDF("node"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    m shouldBe Map(20L -> 0L, 10L -> 1L)
+  }
+
   behavior of "Graph.clusteringCoefficient"
 
   it should "score cliques 1, paths 0, and mixed nodes by the exact rational" in {
