@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 import graft.queries.Q.t
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -2167,6 +2167,77 @@ object TextQueries {
         t(s, dir, "documents"), Seq("batch", "batch"))
   }
 
+  /** Real BPE subword encoding (text.Bpe — greedy lowest-rank merges with
+    * end-of-word sentinel, run as a native codegen expression) under a
+    * FIXED merge table so the oracle is corpus-size-independent: the
+    * generator vocabulary is a finite 31-word list, so DuckDB replays the
+    * tokenization as a per-word lookup whose arms were produced by an
+    * independent reference implementation of the same published
+    * algorithm (Sennrich et al. 2016) — the two implementations must
+    * agree word-for-word or the hash diverges. The ELSE '!' arm makes
+    * any vocabulary drift a loud failure. Training (corpus-learned
+    * merges) is argmax-iterative and not SQL-expressible; it is locked
+    * by BpeSpec's hand-computed Sennrich fixture.
+    */
+  val bpeEncode: Q = {
+    // 12 merges learned from the uniform-frequency fixture vocabulary
+    val merges = Seq(
+      ("e", "r</w>"), ("o", "w</w>"), ("a", "l"), ("a", "r"), ("a", "s"),
+      ("a", "t"), ("e", "r"), ("i", "n"), ("o", "r"), ("p", "ar"),
+      ("s", "t"), ("u", "p</w>"))
+    Q(
+      "x46_bpe_encode",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |enc AS (
+        |  SELECT doc_id, list_transform(ws, t -> CASE t
+        |      WHEN 'a' THEN 'a</w>'
+        |      WHEN 'agg' THEN 'a g g</w>'
+        |      WHEN 'batch' THEN 'b at c h</w>'
+        |      WHEN 'big' THEN 'b i g</w>'
+        |      WHEN 'column' THEN 'c o l u m n</w>'
+        |      WHEN 'customer' THEN 'c u st o m er</w>'
+        |      WHEN 'data' THEN 'd at a</w>'
+        |      WHEN 'dup' THEN 'd up</w>'
+        |      WHEN 'fast' THEN 'f as t</w>'
+        |      WHEN 'filter' THEN 'f i l t er</w>'
+        |      WHEN 'group' THEN 'g r o up</w>'
+        |      WHEN 'hash' THEN 'h as h</w>'
+        |      WHEN 'join' THEN 'j o i n</w>'
+        |      WHEN 'key' THEN 'k e y</w>'
+        |      WHEN 'line' THEN 'l in e</w>'
+        |      WHEN 'merge' THEN 'm er g e</w>'
+        |      WHEN 'order' THEN 'or d er</w>'
+        |      WHEN 'part' THEN 'par t</w>'
+        |      WHEN 'query' THEN 'q u er y</w>'
+        |      WHEN 'row' THEN 'r ow</w>'
+        |      WHEN 'scan' THEN 's c a n</w>'
+        |      WHEN 'slow' THEN 's l ow</w>'
+        |      WHEN 'small' THEN 's m al l</w>'
+        |      WHEN 'sort' THEN 's or t</w>'
+        |      WHEN 'spark' THEN 's par k</w>'
+        |      WHEN 'stream' THEN 'st r e a m</w>'
+        |      WHEN 'table' THEN 't a b l e</w>'
+        |      WHEN 'the' THEN 't h e</w>'
+        |      WHEN 'value' THEN 'v al u e</w>'
+        |      WHEN 'vector' THEN 'v e c t o r</w>'
+        |      WHEN 'window' THEN 'w in d ow</w>'
+        |      ELSE '!' END) AS parts
+        |  FROM toks)
+        |SELECT doc_id,
+        |  array_to_string(parts, ' ') AS bpe_str,
+        |  COALESCE(list_sum(list_transform(parts,
+        |    p -> len(string_split(p, ' ')))), 0) AS n_tokens
+        |FROM enc""".stripMargin) { (s, dir) =>
+      val toks = Bpe.encode(col("text"), merges)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", toks).as("bpe_str"),
+        size(toks).cast("long").as("n_tokens"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
@@ -2184,5 +2255,5 @@ object TextQueries {
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
-    prefixJaccard, editDistPairs, corpusDiff, spanRemoval)
+    prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode)
 }
