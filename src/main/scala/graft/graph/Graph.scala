@@ -167,6 +167,47 @@ object Graph {
     dist
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * fixed iterations with deterministic ties: every node starts
+    * labelled by its own id; each round it adopts the label most
+    * frequent among its neighbors, ties broken by MINIMUM label.
+    * Detects near-dup/template communities the transitive-closure
+    * clusters (Dedup.clusters) merge too eagerly — LPA keeps weakly
+    * bridged communities apart because one bridge edge is outvoted.
+    *
+    * Fixed-round semantics on purpose: sync LPA can 2-cycle on
+    * bipartite regions, so a fixpoint loop need not terminate; a fixed
+    * budget is deterministic at any partitioning (votes are exact
+    * counts, ties exact mins) and is how LPA is run in practice.
+    *
+    * Per round: one equi-join of labels against the adjacency and two
+    * combinable aggregations — vote counts groupBy (node, label), then
+    * argmax as min(struct(-cnt, label)) — so a hub's votes partial-
+    * aggregate map-side and nothing materializes a neighborhood in one
+    * task. Rounds eager-checkpoint serialized and free the superseded
+    * generation (the [[bfsDistances]] discipline). Parallel edges count
+    * as extra votes; feed a deduped edge list for simple-graph voting.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true, ser)
+    for (_ <- 1 to rounds) {
+      val next = und.join(labels, und("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("best"))
+        .select(col("node"), col("best").getField("label").as("label"))
+        .localCheckpoint(true, ser)
+      graft.core.Checkpoints.unpersistCheckpoint(labels)
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node local clustering coefficient over the undirected edge
     * list: 2·t(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 nodes. High
     * transitivity marks template communities (everything near-dups

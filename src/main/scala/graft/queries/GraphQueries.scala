@@ -212,5 +212,37 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ, bfsQ)
+  /** Synchronous label propagation (Graph.labelPropagation, 3 rounds)
+    * over the g3 clique-plus-chain fixture: each 3-clique collapses to
+    * its minimum member id in one round and stays there (a clique's own
+    * majority outvotes anything), while the 9-node paths — bipartite, so
+    * the round budget matters — walk labels leftward one hop per round.
+    * The oracle unrolls the same three vote-count/argmax rounds as CTE
+    * layers with the identical (count DESC, label ASC) tiebreak.
+    */
+  val labelPropQ: Q = {
+    val roundSql = (i: Int) =>
+      s"""l${i + 1} AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |    FROM (SELECT u.dst AS node, p.label, count(*) AS cnt
+         |          FROM und u JOIN l$i p ON u.src = p.node
+         |          GROUP BY u.dst, p.label))
+         |  WHERE rn = 1)""".stripMargin
+    Q(
+      "g6_label_propagation",
+      s"""WITH $edgesSql,
+         |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${roundSql(0)},
+         |${roundSql(1)},
+         |${roundSql(2)}
+         |SELECT node, label FROM l3""".stripMargin) { (s, dir) =>
+      Graph.labelPropagation(dupChainEdges(s, dir), rounds = 3)
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ, bfsQ, labelPropQ)
 }

@@ -124,6 +124,39 @@ class GraphSpec extends SparkSpec {
     m shouldBe Map(20L -> 0L, 10L -> 1L)
   }
 
+  behavior of "Graph.labelPropagation"
+
+  it should "collapse a clique-plus-pendant to the minimum label in two rounds" in {
+    // round 1 (hand-computed): 1→2, 2→1, 3→1, 4→3; round 2: all → 1
+    val g = edgesDf((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val r1 = Graph.labelPropagation(g, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    r1 shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L)
+    val r2 = Graph.labelPropagation(g, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    r2 shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
+  it should "honour the fixed round budget on bipartite oscillation" in {
+    // a path is bipartite: sync LPA 2-cycles instead of converging, so
+    // round 1 and round 2 states differ and both are exact
+    val g = edgesDf((1L, 2L), (2L, 3L), (3L, 4L))
+    Graph.labelPropagation(g, rounds = 1).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    Graph.labelPropagation(g, rounds = 2).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+  }
+
+  it should "break vote ties by minimum label and weight parallel edges" in {
+    val star = edgesDf((0L, 5L), (0L, 6L), (0L, 7L))
+    Graph.labelPropagation(star, rounds = 1)
+      .as[(Long, Long)].collect().toMap.apply(0L) shouldBe 5L
+    // a doubled edge casts two votes: label 9 outvotes the smaller 5
+    val multi = edgesDf((0L, 9L), (0L, 9L), (0L, 5L))
+    Graph.labelPropagation(multi, rounds = 1)
+      .as[(Long, Long)].collect().toMap.apply(0L) shouldBe 9L
+  }
+
   behavior of "Graph.clusteringCoefficient"
 
   it should "score cliques 1, paths 0, and mixed nodes by the exact rational" in {
