@@ -429,7 +429,77 @@ object MultimodalQueries {
           md5(col("body")).as("body_md5"))
   }
 
+  /** The dHash half-hash as DuckDB SQL: 32 gradient-comparison bits over
+    * the deterministic 9×8 gradient fixture (ImageHash.gradientPng's
+    * exact pixel formula), summed into a BIGINT. `ys` picks the rows,
+    * `shift` the in-half bit index.
+    */
+  private def dhashHalfSql(ys: String, shift: String): String =
+    s"""CAST(list_sum(flatten(list_transform([$ys], y ->
+       |  list_transform([0,1,2,3,4,5,6,7], x ->
+       |    CASE WHEN (img*31 + (x+1)*(x+1)*7 + y*y*13) % 251
+       |           > (img*31 + x*x*7 + y*y*13) % 251
+       |             + CASE WHEN x = 0 AND y = 0 THEN delta ELSE 0 END
+       |         THEN CAST(1 AS BIGINT) << ($shift*8 + x) ELSE 0
+       |    END)))) AS BIGINT)""".stripMargin
+
+  /** REAL image decode → perceptual hash: deterministic 9×8 gradient
+    * PNGs (pixel = exact integer formula of doc id), every 11th
+    * truncated and DROPPED by lenient decode, hashed by
+    * ImageHash.dhashDocs (real imageio decode → integer luma → box
+    * resize → 64-bit difference hash). 9×8 makes the 8×8 gradient grid
+    * resize-free, so DuckDB replays every bit as pure integer SQL and
+    * the whole decode→hash path is hash-checked cross-engine; the box
+    * RESIZE arithmetic is locked separately by ImageHashSpec's
+    * hand-computed cases.
+    */
+  val imageDhash: Q = Q(
+    "m14_image_dhash",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 11 <> 0)
+       |SELECT doc_id,
+       |  printf('%08x%08x', ${dhashHalfSql("4,5,6,7", "(y-4)")},
+       |                     ${dhashHalfSql("0,1,2,3", "y")}) AS dhash
+       |FROM ids""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.ImageHash
+      .syntheticGradientPngs(t(s, dir, "documents"), s)
+    graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("dhash"))
+  }
+
+  /** Image NEAR-duplicate pairs: the gradient fixture plus a one-pixel-
+    * perturbed planted copy of every 10th doc (id + 10⁶, hamming ≤ 1 to
+    * its source), hashed as in m14 and paired by the SAME hamming-banded
+    * generator the text SimHash path uses (Dedup.simhashPairs — banding
+    * is complete for the budget, so the banded set must equal the
+    * oracle's naive all-pairs xor/bit_count scan). The multimodal dedup
+    * stack therefore shares one measured scale path (SCALE.md simhash
+    * knee + d10 remedy) across text and images.
+    */
+  val dhashPairs: Q = Q(
+    "d16_dhash_pairs",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 3 FROM documents WHERE doc_id % 10 = 0),
+       |h AS (
+       |  SELECT doc_id, ${dhashHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${dhashHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM ids)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin) {
+    (s, dir) =>
+      val rows = graft.multimodal.ImageHash
+        .syntheticGradientPngs(t(s, dir, "documents"), s, planted = true)
+      val hashes = graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+      graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
-    mkvFrames, pngMeta, warcRecords)
+    mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs)
 }
