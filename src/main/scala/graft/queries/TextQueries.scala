@@ -2238,6 +2238,38 @@ object TextQueries {
     }
   }
 
+  /** Trained-classifier quality scoring (text.QualityClassifier): the
+    * map-side linear scorer under FIXED formula weights so DuckDB
+    * replays the whole path — md5-nibble bigram buckets (the x32
+    * construction), a strict left-to-right weighted fold (bit-identical
+    * float sum), and the sigmoid rounded to 6 dp. The FIT side (MLlib
+    * LBFGS) is the deliberately iterative model step and is locked by
+    * QualityClassifierSpec's separability fixture instead.
+    */
+  val lrQualityScore: Q = {
+    def nib(k: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(w[i] || ' ' || w[i+1]), ${k + 1}, 1)) - 1)"
+    Q(
+      "x47_lr_quality_score",
+      s"""WITH wt AS (
+         |  SELECT list_transform(generate_series(0, 255),
+         |           b -> (((b * 37) % 101) - 50) / 1000.0) AS wl),
+         |b AS (
+         |  SELECT doc_id, list_transform(range(1, len(w)), i ->
+         |    ((${nib(0)} * 4096 + ${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 256)) AS bids
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT doc_id, len(bids) AS n_feats,
+         |  round(1.0 / (1.0 + exp(-list_reduce(
+         |    list_prepend(CAST(0.1 AS DOUBLE),
+         |      list_transform(bids, v -> wl[v + 1])),
+         |    (a, x) -> a + x))), 6) AS prob
+         |FROM b, wt""".stripMargin) { (s, dir) =>
+      val weights = Seq.tabulate(256)(b => ((b * 37) % 101 - 50) / 1000.0)
+      graft.text.QualityClassifier.score(
+        t(s, dir, "documents"), weights, intercept = 0.1)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
@@ -2255,5 +2287,6 @@ object TextQueries {
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
-    prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode)
+    prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
+    lrQualityScore)
 }
