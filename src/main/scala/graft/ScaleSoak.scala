@@ -396,6 +396,95 @@ object ScaleSoak {
           "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
       graft.graph.Graph.pageRank(edges, iterations = 3).count()
     }
+    // explicit-only growth probes for the session-10 operators.
+    probed("bpe_train") {
+      // vocabulary here is ~10k hashed words plus one 'extraN' word per
+      // near-dup row (~N/50 singleton words) — maxWords prunes the
+      // singleton tail deterministically, so the collected model stays
+      // bounded while the distributed word-count aggregation sees the
+      // full Heaps tail; 50 merges over the 65k-word model is the
+      // in-memory loop's cost, deliberately driver-side (model, not data)
+      graft.text.Bpe.train(corpus, numMerges = 50).size.toLong
+    }
+    probed("bpe_encode") {
+      // map-side subword encode + count over the whole corpus under a
+      // small fixed merge table: the per-token cost of the greedy merge
+      // loop with the word memo hot (the corpus has ~10k distinct words)
+      val merges = graft.text.Bpe.trainInMemory(
+        Seq(("the", 50L), ("and", 40L), ("note", 30L), ("of", 20L),
+          ("w1234", 10L), ("w999", 10L), ("extra7", 5L)), numMerges = 24,
+        minPairFreq = 1L)
+      sinkCount(corpus.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), merges).as("n")))
+    }
+    probed("label_propagation") {
+      // the pagerank graph (2N edges, hash hubs), 3 sync rounds: per
+      // round one adjacency join + two combinable aggs — shuffle should
+      // track pagerank's within a small factor at every N
+      val edges = spark.range(docs).selectExpr(
+        "id as src", s"pmod(xxhash64(id, 7), $docs) as dst")
+        .unionAll(spark.range(docs).selectExpr(
+          "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
+      graft.graph.Graph.labelPropagation(edges, rounds = 3).count()
+    }
+    // image near-dup end-to-end: deterministic 9×8 hash-pixel PNGs with
+    // the standard 50-block planted structure (3 exact copies + 1
+    // one-pixel near-dup per block → 6 hamming<=1 pairs/block), encoded
+    // and REAL-decoded per row. Hashes are ~uniform 64-bit (hashed
+    // pixels, unlike the oracle fixture's 251-class gradient), so the
+    // pair stage sits in the text simhash banding regime — but the
+    // measured 2.5M stage-detail A/B showed the END-TO-END stage is
+    // CODEC-bound (decode ≈ 97% of task CPU, candidate join ~1% even
+    // with candidates already quadratic), so the banding choice only
+    // matters over STORED hashes, where the text curves transfer
+    // directly (SCALE.md "Image near-dup banding A/B").
+    def imagePngs() = {
+      import spark.implicits._
+      spark.range(0, docs, 1, inputParts).selectExpr(
+          "id as doc_id",
+          "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
+          "cast(id % 50 = 3 as boolean) as near")
+        .as[(Long, Long, Boolean)]
+        .mapPartitions { it =>
+          it.map { case (id, seed, near) =>
+            val img = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                var v = java.lang.Long.remainderUnsigned(
+                  scala.util.hashing.byteswap64(seed * 72 + y * 9 + x), 251).toInt
+                if (near && x == 0 && y == 0) v = (v + 3) % 251
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            graft.multimodal.MediaRow(id, "image/png", out.toByteArray)
+          }
+        }
+    }
+    probed("image_dhash_pairs") {
+      graft.dedup.Dedup.simhashPairs(
+        graft.multimodal.ImageHash.dhashDocs(imagePngs(), spark)).count()
+    }
+    probed("image_dhash_pairs_comb") {
+      graft.dedup.Dedup.simhashPairsCombinatorial(
+        graft.multimodal.ImageHash.dhashDocs(imagePngs(), spark)).count()
+    }
+    probed("lr_quality_score") {
+      // fit on a 4% hash sample (the published-pipeline posture: the
+      // classifier needs exemplars, not the corpus), then score the
+      // full corpus map-side — fit cost is LBFGS over sample×256 dense
+      // vectors, score cost is the pure scan
+      val sample = corpus.filter(pmod(xxhash64(col("doc_id"), lit(5)), lit(25)) === 0)
+        .withColumn("label", (col("doc_id") % 50 === 3).cast("double"))
+      val (w, b) = graft.text.QualityClassifier.fit(sample, spark, maxIter = 10)
+      sinkCount(graft.text.QualityClassifier.score(corpus, w, b))
+    }
     // range-built frames carry tiny size estimates, so any stage whose
     // join sides are actually corpus-sized must forbid broadcast or the
     // planner materializes multi-GB "small" sides on the driver (the

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * unchanged, so the image path inherits the measured single-band /
   * block-pair banding scale guidance (SCALE.md) for free.
   *
+  * Scale guidance (measured — SCALE.md "Image near-dup banding A/B at
+  * 2.5M"): the end-to-end pipeline is DECODE-bound (~97% of task CPU on
+  * 9×8 thumbnails; real images are far worse), so hash ONCE and persist
+  * the 8-byte dHash column; pair generation re-run over stored hashes
+  * is exactly the text SimHash regime, where the measured banding
+  * curves (single-band to ~10M keys, block-pair banding past the
+  * occupancy knee) transfer directly.
+  *
   * Everything is integer arithmetic on purpose: luma is the exact
   * (299r + 587g + 114b) / 1000 integer division (r=g=b recovers the gray
   * byte exactly), the resize is index-based box averaging with floor

@@ -499,7 +499,45 @@ object MultimodalQueries {
       graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3)
   }
 
+  /** Image duplicate clusters: d16's hamming pairs resolved to connected
+    * components by the SAME pointer-doubling propagation the text dedup
+    * stack uses (Dedup.clusters) — decode → perceptual hash → banded
+    * pairs → clusters is the full image-dedup pipeline, every stage
+    * shared with text where the semantics allow. The oracle closes the
+    * naive pair set with a recursive reachability CTE and min-labels
+    * each component (the d7 construction).
+    */
+  val dhashClusters: Q = Q(
+    "d17_image_dup_clusters",
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 3 FROM documents WHERE doc_id % 10 = 0),
+       |h AS (
+       |  SELECT doc_id, ${dhashHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${dhashHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM ids),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+       |          UNION SELECT doc2, doc1 FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.r FROM reach r JOIN edges e ON r.doc_id = e.s)
+       |SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin) {
+    (s, dir) =>
+      val rows = graft.multimodal.ImageHash
+        .syntheticGradientPngs(t(s, dir, "documents"), s, planted = true)
+      val hashes = graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+      graft.dedup.Dedup.clusters(
+        graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3))
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
-    mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs)
+    mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters)
 }

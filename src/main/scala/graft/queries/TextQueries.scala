@@ -2179,51 +2179,60 @@ object TextQueries {
     * merges) is argmax-iterative and not SQL-expressible; it is locked
     * by BpeSpec's hand-computed Sennrich fixture.
     */
+  /** The fixed 12-merge table x46/x48 encode under (learned from the
+    * uniform-frequency fixture vocabulary), and its per-word DuckDB
+    * replay — arms generated by an independent reference implementation
+    * of the published algorithm.
+    */
+  private val bpeMerges = Seq(
+    ("e", "r</w>"), ("o", "w</w>"), ("a", "l"), ("a", "r"), ("a", "s"),
+    ("a", "t"), ("e", "r"), ("i", "n"), ("o", "r"), ("p", "ar"),
+    ("s", "t"), ("u", "p</w>"))
+
+  private val bpeCaseSql =
+    """CASE t
+      |      WHEN 'a' THEN 'a</w>'
+      |      WHEN 'agg' THEN 'a g g</w>'
+      |      WHEN 'batch' THEN 'b at c h</w>'
+      |      WHEN 'big' THEN 'b i g</w>'
+      |      WHEN 'column' THEN 'c o l u m n</w>'
+      |      WHEN 'customer' THEN 'c u st o m er</w>'
+      |      WHEN 'data' THEN 'd at a</w>'
+      |      WHEN 'dup' THEN 'd up</w>'
+      |      WHEN 'fast' THEN 'f as t</w>'
+      |      WHEN 'filter' THEN 'f i l t er</w>'
+      |      WHEN 'group' THEN 'g r o up</w>'
+      |      WHEN 'hash' THEN 'h as h</w>'
+      |      WHEN 'join' THEN 'j o i n</w>'
+      |      WHEN 'key' THEN 'k e y</w>'
+      |      WHEN 'line' THEN 'l in e</w>'
+      |      WHEN 'merge' THEN 'm er g e</w>'
+      |      WHEN 'order' THEN 'or d er</w>'
+      |      WHEN 'part' THEN 'par t</w>'
+      |      WHEN 'query' THEN 'q u er y</w>'
+      |      WHEN 'row' THEN 'r ow</w>'
+      |      WHEN 'scan' THEN 's c a n</w>'
+      |      WHEN 'slow' THEN 's l ow</w>'
+      |      WHEN 'small' THEN 's m al l</w>'
+      |      WHEN 'sort' THEN 's or t</w>'
+      |      WHEN 'spark' THEN 's par k</w>'
+      |      WHEN 'stream' THEN 'st r e a m</w>'
+      |      WHEN 'table' THEN 't a b l e</w>'
+      |      WHEN 'the' THEN 't h e</w>'
+      |      WHEN 'value' THEN 'v al u e</w>'
+      |      WHEN 'vector' THEN 'v e c t o r</w>'
+      |      WHEN 'window' THEN 'w in d ow</w>'
+      |      ELSE '!' END""".stripMargin
+
   val bpeEncode: Q = {
-    // 12 merges learned from the uniform-frequency fixture vocabulary
-    val merges = Seq(
-      ("e", "r</w>"), ("o", "w</w>"), ("a", "l"), ("a", "r"), ("a", "s"),
-      ("a", "t"), ("e", "r"), ("i", "n"), ("o", "r"), ("p", "ar"),
-      ("s", "t"), ("u", "p</w>"))
+    val merges = bpeMerges
     Q(
       "x46_bpe_encode",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
         |  FROM documents),
         |enc AS (
-        |  SELECT doc_id, list_transform(ws, t -> CASE t
-        |      WHEN 'a' THEN 'a</w>'
-        |      WHEN 'agg' THEN 'a g g</w>'
-        |      WHEN 'batch' THEN 'b at c h</w>'
-        |      WHEN 'big' THEN 'b i g</w>'
-        |      WHEN 'column' THEN 'c o l u m n</w>'
-        |      WHEN 'customer' THEN 'c u st o m er</w>'
-        |      WHEN 'data' THEN 'd at a</w>'
-        |      WHEN 'dup' THEN 'd up</w>'
-        |      WHEN 'fast' THEN 'f as t</w>'
-        |      WHEN 'filter' THEN 'f i l t er</w>'
-        |      WHEN 'group' THEN 'g r o up</w>'
-        |      WHEN 'hash' THEN 'h as h</w>'
-        |      WHEN 'join' THEN 'j o i n</w>'
-        |      WHEN 'key' THEN 'k e y</w>'
-        |      WHEN 'line' THEN 'l in e</w>'
-        |      WHEN 'merge' THEN 'm er g e</w>'
-        |      WHEN 'order' THEN 'or d er</w>'
-        |      WHEN 'part' THEN 'par t</w>'
-        |      WHEN 'query' THEN 'q u er y</w>'
-        |      WHEN 'row' THEN 'r ow</w>'
-        |      WHEN 'scan' THEN 's c a n</w>'
-        |      WHEN 'slow' THEN 's l ow</w>'
-        |      WHEN 'small' THEN 's m al l</w>'
-        |      WHEN 'sort' THEN 's or t</w>'
-        |      WHEN 'spark' THEN 's par k</w>'
-        |      WHEN 'stream' THEN 'st r e a m</w>'
-        |      WHEN 'table' THEN 't a b l e</w>'
-        |      WHEN 'the' THEN 't h e</w>'
-        |      WHEN 'value' THEN 'v al u e</w>'
-        |      WHEN 'vector' THEN 'v e c t o r</w>'
-        |      WHEN 'window' THEN 'w in d ow</w>'
-        |      ELSE '!' END) AS parts
+        |  SELECT doc_id, list_transform(ws, t -> $bpeCaseSql) AS parts
         |  FROM toks)
         |SELECT doc_id,
         |  array_to_string(parts, ' ') AS bpe_str,
@@ -2270,6 +2279,58 @@ object TextQueries {
     }
   }
 
+  /** Real-tokenizer training shards: x26's sequence packer fed by x46's
+    * BPE subword stream instead of the regex tokenizer — the composition
+    * a training pipeline actually runs (learned tokens in, budget-sized
+    * shards out). The oracle expands each word through the same
+    * independently-generated per-word replay, flattens to the subword
+    * stream, and re-runs the packing arithmetic end-to-end; the packer's
+    * two-level distributed prefix sum must agree with the corpus-wide
+    * window pack-for-pack.
+    */
+  val bpePackedShards: Q = {
+    val budget = 512L
+    Q(
+      "x48_bpe_packed_shards",
+      s"""WITH toks AS (SELECT doc_id,
+         |    flatten(list_transform(
+         |      list_filter(string_split(text, ' '), t -> t <> ''),
+         |      t -> string_split($bpeCaseSql, ' '))) AS w
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS tokens,
+         |    CAST(COALESCE(sum(len(w)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, pack,
+         |    greatest(start, pack * $budget) - pack * $budget AS off,
+         |    least(start + tokens, (pack + 1) * $budget)
+         |      - greatest(start, pack * $budget) AS take,
+         |    greatest(start, pack * $budget) - start AS doff
+         |  FROM (
+         |    SELECT doc_id, tokens, start,
+         |      unnest(range(start // $budget,
+         |                   greatest(start // $budget, (start + tokens - 1) // $budget) + 1)) AS pack
+         |    FROM cum)),
+         |pieces AS (
+         |  SELECT s.pack, s.off, s.take,
+         |    array_to_string(t.w[s.doff + 1 : s.doff + s.take], ' ') AS piece
+         |  FROM spans s JOIN toks t USING (doc_id) WHERE s.take > 0)
+         |SELECT CAST(pack AS BIGINT) AS pack_id,
+         |  count(*) AS n_spans,
+         |  CAST(sum(take) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(piece, ' ' ORDER BY off)) AS shard_md5
+         |FROM pieces GROUP BY pack""".stripMargin) { (s, dir) =>
+      graft.dedup.Sampling.packedShards(
+        t(s, dir, "documents"), "doc_id",
+        Bpe.encode(col("text"), bpeMerges),
+        budget = budget, numRanges = 16)
+        .select(col("pack_id"), col("n_spans"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("shard_md5"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
@@ -2288,5 +2349,5 @@ object TextQueries {
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
     prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
-    lrQualityScore)
+    lrQualityScore, bpePackedShards)
 }
