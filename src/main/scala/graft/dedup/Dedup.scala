@@ -171,6 +171,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Batch-vs-index hamming candidates — [[simhashPairs]]' banding in
+    * the incremental (d9) shape: each NEW signature bands against the
+    * STANDING index only, never index × index, so a drop's admission
+    * cost tracks the drop. Works over any 64-bit hamming signature
+    * (text SimHash, image dHash — the frames share the `simhash`
+    * column name by design). Output: (new_id, corpus_id, hamming).
+    */
+  def incrementalHammingCandidates(newSigs: DataFrame, corpusSigs: DataFrame,
+      bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
+    def banded(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      }: _*)).as(Seq("band_no", "band_val")))
+    banded(newSigs).alias("n")
+      .join(banded(corpusSigs).alias("c"),
+        col("n.band_no") === col("c.band_no") &&
+          col("n.band_val") === col("c.band_val"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"),
+        bit_count(expr("n.simhash ^ c.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs via COMBINATORIAL (block-pair) pigeonhole
     * banding — the 10⁸+-doc scale path the sf1 soak motivated: with B
     * blocks and hamming ≤ r (r ≤ B − 2), at most r blocks differ, so

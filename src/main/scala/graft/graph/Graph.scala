@@ -187,6 +187,15 @@ object Graph {
     * task. Rounds eager-checkpoint serialized and free the superseded
     * generation (the [[bfsDistances]] discipline). Parallel edges count
     * as extra votes; feed a deduped edge list for simple-graph voting.
+    *
+    * AQE caveat (measured, SCALE.md "label_propagation at 40M"): vote
+    * rows are 16-byte longs but CPU-heavy to aggregate, so AQE's
+    * BYTE-based partition coalescing (advisory 64 MB) rebuilds the
+    * few-fat-tasks pathology on any requested partition count — at 40M
+    * edges, `spark.sql.adaptive.advisoryPartitionSizeInBytes=8m` was
+    * 2.2× wall and 2.1× CPU over the default. Size the advisory down
+    * for tiny-row aggregation graphs (applies equally to [[pageRank]]
+    * and [[bfsDistances]]).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER

@@ -134,7 +134,10 @@ object ImageHash {
     }
   }
 
-  private[multimodal] def gradientPng(imgId: Long, delta: Int): Array[Byte] = {
+  /** One 9×8 gradient PNG (the [[syntheticGradientPngs]] pixel formula)
+    * — public so stream/spec fixtures can plant exact payloads.
+    */
+  def gradientPng(imgId: Long, delta: Int): Array[Byte] = {
     val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < 8) {

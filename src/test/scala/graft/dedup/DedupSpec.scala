@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
     pairs.filter(col("corpus_id") >= 200L).count() shouldBe 0L
   }
 
+  "incrementalHammingCandidates" should "find every within-budget pair against the index only" in {
+    // banding is complete for hamming <= 3 by pigeonhole: flipping bits
+    // in at most 3 of the 4 sixteen-bit bands leaves one band intact
+    val base = 0x0123456789abcdefL
+    val index = Seq((1L, base), (2L, 0x7777777777777777L)).toDF("doc_id", "simhash")
+    val fresh = Seq(
+      (100L, base ^ 1L),                  // hamming 1 vs doc 1
+      (101L, base ^ (1L << 63) ^ (1L << 17) ^ 2L), // hamming 3, bits in 3 bands
+      (102L, base ^ 0xfL),                // hamming 4 — over budget
+      (103L, 0x7777777777777777L)         // hamming 0 vs doc 2
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.incrementalHammingCandidates(fresh, index)
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe Set((100L, 1L, 1), (101L, 1L, 3), (103L, 2L, 0))
+    // fresh x fresh pairs (100 vs 101 are hamming 4 anyway, but 103's
+    // exact twin in fresh would be) are never emitted
+    val twin = fresh.unionByName(Seq((104L, base ^ 1L)).toDF("doc_id", "simhash"))
+    Dedup.incrementalHammingCandidates(twin, index)
+      .filter(col("corpus_id") >= 100L).count() shouldBe 0L
+  }
+
   "clusters" should "resolve chains, triangles and islands to component minima" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 20L))
       .toDF("doc1", "doc2")
