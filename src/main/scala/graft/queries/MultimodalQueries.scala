@@ -537,7 +537,48 @@ object MultimodalQueries {
         graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3))
   }
 
+  /** Batch-vs-index image admission, batch shape (the MediaStream twin,
+    * as d9 is CorpusStream's): a "drop" of planted one-pixel variants
+    * plus novel images hamming-banded against the standing corpus index
+    * via Dedup.incrementalHammingCandidates — the oracle replays it as
+    * the naive drop × index hamming scan, so banding completeness and
+    * the never-index×index contract are both driver-checked.
+    */
+  val incrementalDhash: Q = Q(
+    "d18_incremental_dhash",
+    s"""WITH idx AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 11 <> 0),
+       |drop0 AS (
+       |  SELECT doc_id + 1000000 AS doc_id, doc_id AS img, 3 AS delta
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |hi AS (
+       |  SELECT doc_id, ${dhashHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${dhashHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM idx),
+       |hd AS (
+       |  SELECT doc_id, ${dhashHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${dhashHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM drop0)
+       |SELECT d.doc_id AS new_id, i.doc_id AS corpus_id,
+       |  bit_count(xor(d.hi, i.hi)) + bit_count(xor(d.lo, i.lo)) AS hamming
+       |FROM hd d JOIN hi i
+       |  ON bit_count(xor(d.hi, i.hi)) + bit_count(xor(d.lo, i.lo)) <= 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val index = graft.multimodal.ImageHash.dhashDocs(
+        graft.multimodal.ImageHash.syntheticGradientPngs(docs, s), s, lenient = true)
+      val dropRows = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.MediaRow(id + 1000000L, "image/png",
+          graft.multimodal.ImageHash.gradientPng(id, 3)))
+      val drop = graft.multimodal.ImageHash.dhashDocs(dropRows, s)
+      graft.dedup.Dedup.incrementalHammingCandidates(drop, index, maxHamming = 3)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
-    mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters)
+    mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
+    incrementalDhash)
 }
