@@ -476,6 +476,13 @@ object MultimodalQueries {
     * oracle's naive all-pairs xor/bit_count scan). The multimodal dedup
     * stack therefore shares one measured scale path (SCALE.md simhash
     * knee + d10 remedy) across text and images.
+    *
+    * Fixture note: the gradient hash depends on doc_id only through
+    * doc_id·31 mod 251, so the fixture has ≤251 hash classes and most
+    * output pairs are cross-doc collisions — deliberate: it makes the
+    * banded join's completeness check dense (every hamming-0/1/2/3
+    * relation must surface) at oracle scale. The soak's image fixture
+    * (hashed pixels, ~uniform 64-bit hashes) covers the sparse regime.
     */
   val dhashPairs: Q = Q(
     "d16_dhash_pairs",
