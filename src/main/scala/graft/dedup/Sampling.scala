@@ -356,4 +356,46 @@ object Sampling {
       .select(col("pack_id"), col("n_spans"),
         size(col("tokens")).cast("long").as("n_tokens"), col("tokens"))
   }
+
+  /** Token-budget mixture: per domain, take documents in the stable
+    * pseudo-random (md5(id), id) order until the domain's token budget
+    * is spent — the "N billion tokens of web, M of code" recipe step
+    * that [[temperatureSample]]'s rate-based variant can't pin to an
+    * exact token count. A document is kept iff the tokens of prior kept
+    * documents are still under budget, so the FIRST budget-crossing doc
+    * is included (the pack-straddle convention: budgets fill, never
+    * starve) and the kept set is a prefix of the domain's hash order —
+    * stable under reruns and cluster size.
+    *
+    * The per-domain running sum is NOT one window partition per domain
+    * (a corpus-hot domain would be a single-task funnel — the
+    * shuffleOrder/weightedSample discipline): md5's first four nibbles
+    * form a monotone range key, per-(domain, range) token sums roll
+    * into exclusive offsets over the tiny ≤numRanges-per-domain table,
+    * and in-range prefixes parallelize across (domain, range). Output:
+    * (idCol, domainCol, n_tokens, cum_before) for kept rows only.
+    */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, domainCol: String,
+      tokens: Column, budgetPerDomain: Long, numRanges: Int = 4096): DataFrame = {
+    require(budgetPerDomain > 0, "budgetPerDomain must be positive")
+    require(numRanges > 0 && numRanges <= 65536, "numRanges must be in (0, 65536]")
+    val withKey = df
+      .withColumn("_t", tokens.cast("long"))
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_rng",
+        conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * numRanges / 65536L)
+    val wr = Window.partitionBy(col(domainCol)).orderBy(col("_rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey.groupBy(col(domainCol), col("_rng"))
+      .agg(sum(col("_t")).as("_rtok"))
+      .withColumn("_roff", coalesce(sum(col("_rtok")).over(wr), lit(0L)))
+      .select(col(domainCol), col("_rng"), col("_roff"))
+    val wd = Window.partitionBy(col(domainCol), col("_rng"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey.join(broadcast(offsets), Seq(domainCol, "_rng"))
+      .withColumn("cum_before", col("_roff") + coalesce(sum(col("_t")).over(wd), lit(0L)))
+      .filter(col("cum_before") < budgetPerDomain)
+      .select(col(idCol), col(domainCol), col("_t").as("n_tokens"), col("cum_before"))
+  }
 }

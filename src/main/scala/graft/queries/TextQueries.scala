@@ -2331,6 +2331,32 @@ object TextQueries {
     }
   }
 
+  /** Token-budget mixture (Sampling.tokenBudgetMixture): per `source`
+    * domain, documents in stable (md5(id), id) order until 600 tokens
+    * are spent, first crossing doc included. The oracle runs the ONE
+    * corpus-wide-per-domain window the operator refuses to (the
+    * shuffleOrder oracle convention) — the two-level range construction
+    * must reproduce it row-for-row, cum_before included.
+    */
+  val tokenBudget: Q = Q(
+    "x49_token_budget_mixture",
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM b)
+      |SELECT doc_id, source, n_tokens, cum_before
+      |FROM c WHERE cum_before < 600""".stripMargin) { (s, dir) =>
+    graft.dedup.Sampling.tokenBudgetMixture(
+      t(s, dir, "documents"), "doc_id", "source",
+      TextAnalysis.wordCount(col("text")), budgetPerDomain = 600L, numRanges = 64)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
@@ -2349,5 +2375,5 @@ object TextQueries {
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract,
     prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
-    lrQualityScore, bpePackedShards)
+    lrQualityScore, bpePackedShards, tokenBudget)
 }

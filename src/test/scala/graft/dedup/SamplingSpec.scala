@@ -371,4 +371,46 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.weightedSample(base, "doc_id", "shard", col("w"), k = 0)
   }
+
+  behavior of "tokenBudgetMixture"
+
+  it should "match the single-window reference and include the crossing doc" in {
+    val docs = (0L until 60L).map(i => (i, s"d${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "dom", "nt")
+    val got = Sampling.tokenBudgetMixture(docs, "doc_id", "dom", col("nt"),
+      budgetPerDomain = 50L, numRanges = 16)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // driver-side reference: one per-domain pass in (md5(id), id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val expected = (0L until 60L).map(i => (i, s"d${i % 3}", 10L + i % 7))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (md5hex(r._1.toString), r._1)).flatMap { r =>
+          val keep = cum < 50L
+          val out = if (keep) Some((r._1, r._2, r._3, cum)) else None
+          cum += r._3
+          out
+        }
+      }.toSet
+    got shouldBe expected
+    // every domain's spend crosses its budget via exactly one final doc
+    got.groupBy(_._2).values.foreach { rows =>
+      // toSeq before mapping: Set.map would dedupe equal token counts
+      val spent = rows.toSeq.map(_._3).sum
+      val maxBefore = rows.toSeq.map(_._4).max
+      maxBefore should be < 50L
+      spent should be >= 50L
+    }
+  }
+
+  it should "be invariant to range granularity" in {
+    val docs = (0L until 40L).map(i => (i, "only", 7L)).toDF("doc_id", "dom", "nt")
+    val a = Sampling.tokenBudgetMixture(docs, "doc_id", "dom", col("nt"), 100L, numRanges = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = Sampling.tokenBudgetMixture(docs, "doc_id", "dom", col("nt"), 100L, numRanges = 4096)
+      .as[(Long, String, Long, Long)].collect().toSet
+    a shouldBe b
+  }
 }
