@@ -475,6 +475,18 @@ object ScaleSoak {
       graft.dedup.Dedup.simhashPairsCombinatorial(
         graft.multimodal.ImageHash.dhashDocs(imagePngs(), spark)).count()
     }
+    probed("token_budget_mixture") {
+      // 20 domains (one corpus-hot: half the corpus lands in domain
+      // d0), budget 1M tokens each — the funnel the two-level range
+      // construction must absorb: a per-domain window would put ~N/2
+      // rows in one task
+      val domains = corpus.withColumn("dom",
+        concat(lit("d"), when(col("doc_id") % 2 === 0, lit(0))
+          .otherwise(pmod(col("doc_id"), lit(20)))))
+      graft.dedup.Sampling.tokenBudgetMixture(domains, "doc_id", "dom",
+        graft.text.TextAnalysis.wordCount(col("text")),
+        budgetPerDomain = 1000000L).count()
+    }
     probed("lr_quality_score") {
       // fit on a 4% hash sample (the published-pipeline posture: the
       // classifier needs exemplars, not the corpus), then score the
