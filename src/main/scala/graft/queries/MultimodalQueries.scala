@@ -584,8 +584,76 @@ object MultimodalQueries {
       graft.dedup.Dedup.incrementalHammingCandidates(drop, index, maxHamming = 3)
   }
 
+  /** One window-energy sum of the audio fixture as SQL: samples
+    * 4e..4e+3 of ((img·31 + i²·7) mod 251) − 125, delta at sample 0.
+    */
+  private def audioWinSql(e: String): String =
+    s"""list_sum(list_transform([0,1,2,3], j ->
+       |  abs((img*31 + (4*($e)+j)*(4*($e)+j)*7) % 251 - 125
+       |      + CASE WHEN ($e) = 0 AND j = 0 THEN delta ELSE 0 END)))""".stripMargin
+
+  private def audioHalfSql(ws: String, shift: String): String =
+    s"""CAST(list_sum(list_transform([$ws], w ->
+       |  CASE WHEN ${audioWinSql("w + 1")} > ${audioWinSql("w")}
+       |  THEN CAST(1 AS BIGINT) << ($shift) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val audioLoWs = (0 until 32).mkString(",")
+  private val audioHiWs = (32 until 64).mkString(",")
+
+  /** REAL audio decode → perceptual fingerprint: deterministic 260-sample
+    * PCM16 WAVs (sample = exact integer formula of doc id), every 9th
+    * truncated and DROPPED by lenient decode, fingerprinted by
+    * AudioHash.fingerprintDocs (real javax.sound decode → integer
+    * window energies → 64-bit energy-delta hash). 260 = 65·4 makes
+    * every window exactly 4 samples, so DuckDB replays every bit as
+    * pure integer SQL — the m14 construction on the time axis.
+    */
+  val audioFingerprint: Q = Q(
+    "m15_audio_fingerprint",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 9 <> 0)
+       |SELECT doc_id,
+       |  printf('%08x%08x', ${audioHalfSql(audioHiWs, "w - 32")},
+       |                     ${audioHalfSql(audioLoWs, "w")}) AS fp
+       |FROM ids""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.AudioHash
+      .syntheticPcmWavs(t(s, dir, "documents"), s)
+    graft.multimodal.AudioHash.fingerprintDocs(rows, s, lenient = true)
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("fp"))
+  }
+
+  /** Audio NEAR-duplicate pairs: the PCM fixture plus a first-sample-
+    * perturbed planted copy of every 10th doc (id + 10⁶, a gain-level
+    * near-dup), fingerprinted as in m15 and paired by the SAME
+    * hamming-banded generator text SimHash and image dHash use — one
+    * near-dup stack across all three modalities, oracled by the naive
+    * all-pairs xor/bit_count scan.
+    */
+  val audioFpPairs: Q = Q(
+    "d19_audio_fp_pairs",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 9 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 60 FROM documents WHERE doc_id % 10 = 0),
+       |h AS (
+       |  SELECT doc_id, ${audioHalfSql(audioHiWs, "w - 32")} AS hi,
+       |         ${audioHalfSql(audioLoWs, "w")} AS lo
+       |  FROM ids)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin) {
+    (s, dir) =>
+      val rows = graft.multimodal.AudioHash
+        .syntheticPcmWavs(t(s, dir, "documents"), s, planted = true)
+      val fps = graft.multimodal.AudioHash.fingerprintDocs(rows, s, lenient = true)
+      graft.dedup.Dedup.simhashPairs(fps, bits = 64, maxHamming = 3)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
-    incrementalDhash)
+    incrementalDhash, audioFingerprint, audioFpPairs)
 }
