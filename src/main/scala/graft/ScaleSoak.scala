@@ -475,6 +475,44 @@ object ScaleSoak {
       graft.dedup.Dedup.simhashPairsCombinatorial(
         graft.multimodal.ImageHash.dhashDocs(imagePngs(), spark)).count()
     }
+    probed("audio_fp_pairs") {
+      // tri-modal parity probe: 260-sample PCM WAVs with the standard
+      // 50-block planted structure, real javax.sound decode → energy
+      // fingerprint → the SAME banded pair join as text/image. Samples
+      // are HASHED per (seed, i) — uniform 64-bit fingerprints, the
+      // sparse banding regime (the oracle fixture's 251-class family
+      // would make soak-scale bucket occupancy quadratic by design) —
+      // and near rows perturb sample 0, the one-window near-dup.
+      import spark.implicits._
+      val rows = spark.range(0, docs, 1, inputParts).selectExpr(
+          "id as doc_id",
+          "case when id % 50 in (1, 2, 3) then (id div 50) * 50 else id end as seed",
+          "cast(id % 50 = 3 as boolean) as near")
+        .as[(Long, Long, Boolean)]
+        .map { case (id, seed, near) =>
+          val n = 260
+          val bytes = new Array[Byte](44 + n * 2)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+          cc("RIFF"); bb.putInt(36 + n * 2); cc("WAVE")
+          cc("fmt "); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1)
+          bb.putInt(1024); bb.putInt(2048); bb.putShort(2); bb.putShort(16)
+          cc("data"); bb.putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            var v = java.lang.Long.remainderUnsigned(
+              scala.util.hashing.byteswap64(seed * 260 + i), 251).toInt - 125
+            if (near && i == 0) v += 60
+            bb.putShort(v.toShort)
+            i += 1
+          }
+          graft.multimodal.MediaRow(id, "audio/wav", bytes)
+        }
+      graft.dedup.Dedup.simhashPairs(
+        graft.multimodal.AudioHash.fingerprintDocs(rows, spark)).count()
+    }
     probed("token_budget_mixture") {
       // 20 domains (one corpus-hot: half the corpus lands in domain
       // d0), budget 1M tokens each — the funnel the two-level range
