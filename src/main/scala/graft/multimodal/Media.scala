@@ -203,7 +203,7 @@ object Media {
     * per-frame [[extractVideoFrames]]. Malformed RIFF or zero frames
     * throw IllegalArgumentException (drops under `lenient`).
     */
-  private def aviFrameChunks(payload: Array[Byte]): Vector[(Int, Int)] = {
+  private[multimodal] def aviFrameChunks(payload: Array[Byte]): Vector[(Int, Int)] = {
     def u32(o: Int): Long =
       (payload(o) & 0xffL) | (payload(o + 1) & 0xffL) << 8 |
         (payload(o + 2) & 0xffL) << 16 | (payload(o + 3) & 0xffL) << 24

@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual VIDEO fingerprinting — the last member of the near-dup
+  * hash family: one real RIFF walk + imageio decode per sampled frame
+  * (the Media.extractVideoFrames path), one image dHash per frame, and
+  * video near-duplication as SHARED FRAME HASHES — two videos are
+  * near-dups when enough of their frame fingerprints coincide, the
+  * standard shot-level video-dedup construction (re-encoded, re-muxed,
+  * or lightly edited copies keep most frame hashes; dHash absorbs
+  * per-frame brightness/scale changes).
+  *
+  * Scale shape: hashing is map-side and codec-bound (decode-once — store
+  * the (doc, frame, hash) table, the image A/B guidance); the pair stage
+  * is an inverted index on the 8-byte frame hash, DF-capped with the
+  * jaccardPairs broadcast anti-join discipline so a corpus-hot frame
+  * (title cards, black frames) cannot run a quadratic bucket.
+  */
+object VideoHash {
+
+  /** Per-(doc, frame) dHash over real decoded AVI frames:
+    * (doc_id, frame_no, simhash). `frameStride` samples every Nth frame
+    * (the extractVideoFrames knob); `lenient` drops malformed containers
+    * whole (a mid-payload undecodable frame counts as malformed).
+    */
+  def frameHashes(rows: Dataset[MediaRow], spark: SparkSession,
+      frameStride: Int = 1, lenient: Boolean = false): DataFrame = {
+    require(frameStride > 0, "frameStride must be positive")
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val chunks = Media.aviFrameChunks(r.payload)
+          chunks.indices.by(frameStride).map { i =>
+            val (off, len) = chunks(i)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload, off, len))
+            if (img == null) throw new java.io.IOException("undecodable frame")
+            (r.doc_id, i, ImageHash.dHash(img))
+          }.iterator
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }.toDF("doc_id", "frame_no", "simhash")
+  }
+
+  /** Video near-dup pairs: (doc1, doc2, shared) for videos sharing at
+    * least `minShared` distinct frame hashes. Frame hashes occurring in
+    * more than `maxHashDf` videos are dropped before the self-join (the
+    * DF-cap discipline — a black frame shared by everything is evidence
+    * of nothing and its postings are exactly the quadratic bucket).
+    */
+  def sharedFramePairs(hashes: DataFrame, minShared: Int = 2,
+      maxHashDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val dist = hashes.select(col("doc_id"), col("simhash")).distinct()
+    val hot = dist.groupBy(col("simhash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxHashDf).select(col("simhash"))
+    val kept = dist.join(broadcast(hot), Seq("simhash"), "left_anti")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Deterministic gradient-frame AVI fixture: `2 + id % 3` frames of
+    * 9×8 gradient PNGs whose pixel (x, y) of frame f is
+    * ((imgId·31 + f·17 + x²·7 + y²·13) mod 251) + delta at (0,0) of
+    * frame 0 only — resize-free like the m14 fixture, so every frame
+    * hash is replayable as integer SQL. Every 13th payload is truncated
+    * (lenient drop); `planted` adds a frame-0-perturbed copy
+    * (id + 10⁶, delta 3) of every 10th doc, which shares all its other
+    * frames' hashes exactly.
+    */
+  def syntheticGradientAvis(documents: DataFrame, spark: SparkSession,
+      planted: Boolean = false): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val base = MediaRow(id, "video/avi", {
+          val bytes = gradientAvi(id, 0)
+          if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes
+        })
+        if (planted && id % 10 == 0)
+          Iterator(base, MediaRow(id + 1000000L, "video/avi", gradientAvi(id, 3)))
+        else Iterator.single(base)
+      }
+    }
+  }
+
+  /** One fixture AVI (RIFF LIST hdrl/movi, word-aligned 00dc PNG
+    * frames) — the Media.syntheticAvis container layout with gradient
+    * frames.
+    */
+  def gradientAvi(imgId: Long, delta: Int): Array[Byte] = {
+    val nFrames = (2 + imgId % 3).toInt
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val d = if (f == 0 && x == 0 && y == 0) delta else 0
+          val v = (((imgId * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13)
+            % 251) + d).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val hdrlBody = 4 + 8 + 56
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bytes = new Array[Byte](8 + riffBody)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffBody); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlBody); cc("hdrl")
+    cc("avih"); bb.putInt(56); bb.position(bb.position() + 56)
+    cc("LIST"); bb.putInt(moviBody); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bytes
+  }
+}

@@ -652,8 +652,79 @@ object MultimodalQueries {
       graft.dedup.Dedup.simhashPairs(fps, bits = 64, maxHamming = 3)
   }
 
+  /** The per-frame dHash half as SQL: the m14 construction with the
+    * frame term (f·17) and delta confined to frame 0's (0,0).
+    */
+  private def videoHalfSql(ys: String, shift: String): String =
+    s"""CAST(list_sum(flatten(list_transform([$ys], y ->
+       |  list_transform([0,1,2,3,4,5,6,7], x ->
+       |    CASE WHEN (img*31 + f*17 + (x+1)*(x+1)*7 + y*y*13) % 251
+       |           > (img*31 + f*17 + x*x*7 + y*y*13) % 251
+       |             + CASE WHEN x = 0 AND y = 0 AND f = 0 THEN delta ELSE 0 END
+       |         THEN CAST(1 AS BIGINT) << ($shift*8 + x) ELSE 0
+       |    END)))) AS BIGINT)""".stripMargin
+
+  /** REAL video decode → per-frame perceptual hashes: gradient-frame
+    * AVIs (2 + id % 3 frames, pixel = exact integer formula of
+    * (doc id, frame)), every 13th container truncated and DROPPED whole
+    * by lenient decode, hashed by VideoHash.frameHashes (real RIFF walk
+    * + imageio per frame + image dHash). DuckDB replays every frame's
+    * every bit as integer SQL — the m14 construction extended by the
+    * frame term.
+    */
+  val videoFrameHashes: Q = Q(
+    "m16_video_frame_hashes",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 13 <> 0),
+       |fr AS (
+       |  SELECT doc_id, img, delta, unnest(range(0, 2 + img % 3)) AS f FROM ids)
+       |SELECT doc_id, CAST(f AS INT) AS frame_no,
+       |  printf('%08x%08x', ${videoHalfSql("4,5,6,7", "(y-4)")},
+       |                     ${videoHalfSql("0,1,2,3", "y")}) AS fp
+       |FROM fr""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.VideoHash
+      .syntheticGradientAvis(t(s, dir, "documents"), s)
+    graft.multimodal.VideoHash.frameHashes(rows, s, lenient = true)
+      .select(col("doc_id"), col("frame_no"),
+        format_string("%016x", col("simhash")).as("fp"))
+  }
+
+  /** Video NEAR-duplicate pairs as SHARED FRAME HASHES
+    * (VideoHash.sharedFramePairs — inverted index on the 8-byte frame
+    * hash, DF-capped): the fixture plus a frame-0-perturbed planted copy
+    * of every 10th doc, which shares all its REMAINING frames exactly —
+    * so copies of 3–4-frame videos pair at minShared = 2 while 2-frame
+    * copies whose perturbed frame flipped a bit drop out, both engines
+    * agreeing. The oracle is the naive distinct-hash equijoin +
+    * HAVING count ≥ 2.
+    */
+  val videoDupPairs: Q = Q(
+    "d20_video_dup_pairs",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 3 FROM documents WHERE doc_id % 10 = 0),
+       |fr AS (
+       |  SELECT doc_id, img, delta, unnest(range(0, 2 + img % 3)) AS f FROM ids),
+       |h AS (
+       |  SELECT DISTINCT doc_id, ${videoHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${videoHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM fr)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+       |FROM h a JOIN h b
+       |  ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.VideoHash
+      .syntheticGradientAvis(t(s, dir, "documents"), s, planted = true)
+    val hashes = graft.multimodal.VideoHash.frameHashes(rows, s, lenient = true)
+    graft.multimodal.VideoHash.sharedFramePairs(hashes, minShared = 2)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
-    incrementalDhash, audioFingerprint, audioFpPairs)
+    incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
+    videoDupPairs)
 }

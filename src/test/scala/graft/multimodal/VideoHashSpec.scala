@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VideoHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expectedFrameHash(imgId: Long, f: Int, delta: Int): Long = {
+    def v(x: Int, y: Int, d: Int) =
+      ((imgId * 31 + f * 17 + x * x * 7 + y * y * 13) % 251) +
+        (if (x == 0 && y == 0 && f == 0) d else 0)
+    var h = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (v(x + 1, y, 0) > v(x, y, delta)) h |= 1L << (y * 8 + x)
+    h
+  }
+
+  behavior of "VideoHash.frameHashes (real AVI decode)"
+
+  it should "hash every frame to the formula, honor stride, and drop corrupt containers" in {
+    val docs = Seq(1L, 2L, 13L).toDF("doc_id")
+    val rows = VideoHash.syntheticGradientAvis(docs, spark)
+    val got = VideoHash.frameHashes(rows, spark, lenient = true)
+      .as[(Long, Int, Long)].collect().toSet
+    // 13 is truncated and dropped WHOLE; doc 1 has 2+1%3=3 frames, doc 2 has 4
+    got.map(_._1) shouldBe Set(1L, 2L)
+    got shouldBe (for {
+      (id, n) <- Seq((1L, 3), (2L, 4)); f <- 0 until n
+    } yield (id, f, expectedFrameHash(id, f, 0))).toSet
+    // stride 2 keeps frames 0, 2
+    VideoHash.frameHashes(rows, spark, frameStride = 2, lenient = true)
+      .select("frame_no").as[Int].collect().toSet shouldBe Set(0, 2)
+  }
+
+  behavior of "VideoHash.sharedFramePairs"
+
+  it should "pair videos by shared distinct hashes and honor the df cap" in {
+    val hashes = Seq(
+      (1L, 0, 100L), (1L, 1, 200L), (1L, 2, 300L),
+      (2L, 0, 100L), (2L, 1, 200L), (2L, 2, 999L), // shares 2 with doc 1
+      (3L, 0, 100L), (3L, 1, 777L), // shares only 1 with doc 1
+      (4L, 0, 100L), (4L, 1, 100L) // duplicate in-doc hash counts once
+    ).toDF("doc_id", "frame_no", "simhash")
+    val got = VideoHash.sharedFramePairs(hashes, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L, 2L))
+    // df cap: hash 100 occurs in 4 videos; capping at 3 removes it, so
+    // docs 1/2 still pair on 200 only if minShared = 1
+    VideoHash.sharedFramePairs(hashes, minShared = 2, maxHashDf = 3)
+      .count() shouldBe 0L
+    VideoHash.sharedFramePairs(hashes, minShared = 1, maxHashDf = 3)
+      .as[(Long, Long, Long)].collect().toSet shouldBe Set((1L, 2L, 1L))
+  }
+
+  it should "find planted near-dup copies through the real decode path" in {
+    // id 20: 2+20%3=4 frames; the planted copy perturbs frame 0 only, so
+    // they share at least frames 1..3
+    val docs = Seq(20L).toDF("doc_id")
+    val rows = VideoHash.syntheticGradientAvis(docs, spark, planted = true)
+    val pairs = VideoHash.sharedFramePairs(
+      VideoHash.frameHashes(rows, spark, lenient = true), minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((20L, 1000020L))
+    pairs.head._3 should be >= 3L
+  }
+}
