@@ -14,4 +14,4 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
   -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT_DIR" 2>/tmp/verify_err.log \
   || { tail -30 /tmp/verify_err.log; exit 1; }
 grep -E "^\[verify\]" /tmp/verify_err.log || true
-python3 scripts/compare.py "$SF_DIR" "$OUT_DIR"
+python3 scripts/compare.py "$SF_DIR" "$OUT_DIR" --strict-types

@@ -3,7 +3,13 @@
 run each oracle SQL in DuckDB against the testdata tables, load the
 Spark-written parquet result, sort columns by name + rows, and compare.
 
-Usage: compare.py <sfDir> <verifyOutDir>
+Usage: compare.py <sfDir> <verifyOutDir> [--strict-types]
+
+--strict-types additionally fails any query whose Spark-parquet pandas
+dtypes differ from the DuckDB oracle's — the driver's hasher is
+type-strict, and pandas value coercion hides exactly this class
+(DuckDB HUGEINT materializes as float64/object while the Spark side is
+int64; see round-7 x46/x49).
 """
 import json
 import math
@@ -42,8 +48,26 @@ def values_equal(a, b):
     return a == b
 
 
+def dtype_mismatches(s, o):
+    """Column-level dtype disagreements that would break a type-strict
+    hasher. int32-vs-int64 style width differences are benign only when
+    both sides are integer; everything else (float-vs-int, object-vs-int,
+    decimal-vs-float) is flagged."""
+    bad = []
+    for c in s.columns:
+        ds, do = str(s[c].dtype), str(o[c].dtype)
+        if ds == do:
+            continue
+        ints = {"int8", "int16", "int32", "int64"}
+        if ds in ints and do in ints:
+            continue
+        bad.append((c, ds, do))
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    strict_types = "--strict-types" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -75,6 +99,13 @@ def main():
             print(f"FAIL  {name:34s} rows {len(s)} vs {len(o)}")
             n_fail += 1
             continue
+        if strict_types:
+            mism = dtype_mismatches(s, o)
+            if mism:
+                det = ", ".join(f"{c}: spark={ds} oracle={do}" for c, ds, do in mism)
+                print(f"FAIL  {name:34s} dtype mismatch ({det})")
+                n_fail += 1
+                continue
         bad = None
         sv, ov = s.values.tolist(), o.values.tolist()
         for i in range(len(sv)):

@@ -137,6 +137,19 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Band `b` of the signature, masked to its low `bandBits` bits.
+    * (sig >> k) & mask is shift-kind-agnostic (only low bandBits bits
+    * survive the mask), so Spark's arithmetic shiftright matches the
+    * oracle's >> on negative signatures too. bandBits == 64 (the
+    * maxHamming = 0 degenerate: one band is the whole signature) is
+    * special-cased — Scala shift counts are mod 64, so (1L << 64) - 1
+    * would evaluate to 0 and map EVERY signature to band_val 0, turning
+    * the band join into a silent cross product.
+    */
+  private def bandValue(b: Int, bandBits: Int): Column =
+    if (bandBits >= 64) col("simhash")
+    else shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
     * via the band pigeonhole: split the signature into `maxHamming + 1`
     * bands — any pair within the distance budget agrees on at least one
@@ -151,14 +164,10 @@ object Dedup {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
-    // (sig >> k) & mask is shift-kind-agnostic (only low bandBits bits
-    // survive the mask), so Spark's arithmetic shiftright matches the
-    // oracle's >> on negative signatures too
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map { b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-      }: _*)).as(Seq("band_no", "band_val")))
+      posexplode(array((0 until nBands).map(bandValue(_, bandBits)): _*))
+        .as(Seq("band_no", "band_val")))
     val hamming = bit_count(expr("a.simhash ^ b.simhash"))
     banded.alias("a")
       .join(banded.alias("b"),
@@ -185,9 +194,8 @@ object Dedup {
     require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
     def banded(df: DataFrame): DataFrame = df.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map { b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-      }: _*)).as(Seq("band_no", "band_val")))
+      posexplode(array((0 until nBands).map(bandValue(_, bandBits)): _*))
+        .as(Seq("band_no", "band_val")))
     banded(newSigs).alias("n")
       .join(banded(corpusSigs).alias("c"),
         col("n.band_no") === col("c.band_no") &&

@@ -43,8 +43,21 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
   def zero: Seq[Scored] = Seq.empty
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order on scores matching Spark SQL's sort semantics: NaN
+    * compares GREATER than every other double (so `ORDER BY score DESC`
+    * ranks NaN first — identical to the row_number window form), NaN ==
+    * NaN, and -0.0 == 0.0 (Spark normalizes signed zero in comparisons).
+    * A plain `>`/`==` pair is partial under NaN: beats() would be false
+    * in both directions, silently dropping NaN rows once the buffer is
+    * full and breaking the sorted-merge invariant when under-full.
+    */
+  private def cmpScore(x: Double, y: Double): Int =
+    java.lang.Double.compare(if (x == 0.0) 0.0 else x, if (y == 0.0) 0.0 else y)
+
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = cmpScore(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Merge two (score DESC, id ASC)-sorted lists, keeping the first k. */
   private def mergeSorted(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = {

@@ -2236,8 +2236,8 @@ object TextQueries {
         |  FROM toks)
         |SELECT doc_id,
         |  array_to_string(parts, ' ') AS bpe_str,
-        |  COALESCE(list_sum(list_transform(parts,
-        |    p -> len(string_split(p, ' ')))), 0) AS n_tokens
+        |  CAST(COALESCE(list_sum(list_transform(parts,
+        |    p -> len(string_split(p, ' ')))), 0) AS BIGINT) AS n_tokens
         |FROM enc""".stripMargin) { (s, dir) =>
       val toks = Bpe.encode(col("text"), merges)
       t(s, dir, "documents").select(
@@ -2347,8 +2347,8 @@ object TextQueries {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, source, n_tokens,
-      |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
       |  FROM b)
       |SELECT doc_id, source, n_tokens, cum_before
       |FROM c WHERE cum_before < 600""".stripMargin) { (s, dir) =>

@@ -120,6 +120,11 @@ object Warc {
       if (lenOpt.isEmpty) return (out, Some(s"record $idx: missing Content-Length"))
       val len = lenOpt.get
       val pStart = hEnd + 4
+      // a negative Content-Length parses ("-5".toLongOption) and would
+      // slide pEnd before pStart — treat it as malformed, not truncated,
+      // so the lenient path drops the record instead of crashing the task
+      if (len < 0)
+        return (out, Some(s"record $idx: negative Content-Length $len"))
       if (pStart + len + 4 > bytes.length)
         return (out, Some(s"record $idx: payload truncated (need ${len + 4} bytes past header)"))
       val pEnd = (pStart + len).toInt

@@ -120,6 +120,25 @@ class DedupSpec extends SparkSpec {
       .filter(col("corpus_id") >= 100L).count() shouldBe 0L
   }
 
+  it should "join on full-signature equality at maxHamming 0, not a degenerate band" in {
+    // one band of 64 bits: (1L << 64) - 1 is 0 under Scala's mod-64
+    // shifts, which would map every signature to band_val 0 and cross-join
+    // batch x index; the full-width special case joins on the hash itself
+    val base = 0x0123456789abcdefL
+    val index = Seq((1L, base), (2L, 0x7777777777777777L), (3L, -1L))
+      .toDF("doc_id", "simhash")
+    val fresh = Seq((100L, base), (101L, base ^ 1L), (102L, -1L))
+      .toDF("doc_id", "simhash")
+    val q = Dedup.incrementalHammingCandidates(fresh, index, maxHamming = 0)
+    q.as[(Long, Long, Int)].collect().toSet shouldBe
+      Set((100L, 1L, 0), (102L, 3L, 0))
+    // the exact-match pairs for simhashPairs too: 64-bit single band
+    val all = index.unionByName(fresh)
+    Dedup.simhashPairs(all, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet shouldBe
+      Set((1L, 100L, 0), (3L, 102L, 0))
+  }
+
   "clusters" should "resolve chains, triangles and islands to component minima" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 20L))
       .toDF("doc1", "doc2")

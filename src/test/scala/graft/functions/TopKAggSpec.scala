@@ -48,6 +48,36 @@ class TopKAggSpec extends SparkSpec {
     byGroup shouldBe Map(1L -> 3, 2L -> 2, 3L -> 3)
   }
 
+  it should "rank NaN first, matching the row_number window form" in {
+    // Spark's sort treats NaN as greater than any double, so ORDER BY
+    // score DESC ranks NaN rows first; the aggregator's total order must
+    // agree — a partial (>, ==) order silently drops NaN once full
+    val nanRows = Seq(
+      (1L, 11L, 9.0), (1L, 12L, Double.NaN), (1L, 13L, 8.0), (1L, 14L, Double.NaN),
+      (1L, 15L, 7.0),
+      (2L, 21L, Double.NaN), (2L, 22L, 1.0))
+    val ndf = nanRows.toDF("g", "id", "score")
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val expected = ndf.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"g", $"rnk", $"id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = ndf.repartition(5)
+      .groupBy($"g").agg(TopKAgg.topK(3)($"score", $"id").as("top"))
+      .select($"g", posexplode($"top").as(Seq("i", "e")))
+      .select($"g", ($"i" + 1).as("rnk"), $"e.id".as("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    got shouldBe expected
+    // NaN ids 12 and 14 outrank every finite score in group 1
+    expected.collect { case (1L, rnk, id) => rnk -> id }.toMap shouldBe
+      Map(1 -> 12L, 2 -> 14L, 3 -> 11L)
+  }
+
+  it should "treat -0.0 and 0.0 as equal (id tiebreak, Spark comparison semantics)" in {
+    val agg = new TopKAgg(2)
+    agg.merge(Seq(Scored(0.0, 5L)), Seq(Scored(-0.0, 3L))) shouldBe
+      Seq(Scored(-0.0, 3L), Scored(0.0, 5L))
+  }
+
   it should "bound the buffer during reduce and merge" in {
     val agg = new TopKAgg(2)
     val full = Seq(Scored(9.0, 1L), Scored(8.0, 2L))

@@ -92,6 +92,18 @@ class WarcSpec extends SparkSpec {
     parse(WarcBlob(1L, noLen), lenient = true) shouldBe empty
   }
 
+  it should "drop a negative Content-Length record in lenient mode instead of crashing" in {
+    // "-N".toLongOption parses — without an explicit len < 0 check the
+    // payload-end index lands before the payload start and the array
+    // access throws OUTSIDE the lenient path, killing the whole task
+    val neg = new String(httpResponse, ISO_8859_1)
+      .replaceAll("Content-Length: \\d+", "Content-Length: -5").getBytes(ISO_8859_1)
+    parse(WarcBlob(1L, neg), lenient = true) shouldBe empty
+    // and records BEFORE the corrupt one survive
+    val rs = parse(WarcBlob(1L, httpResponse ++ neg), lenient = true)
+    rs should have size 1
+  }
+
   it should "add no Exchange: extraction is partition-local" in {
     val plan = Warc.extractRecords(Seq(WarcBlob(1L, httpResponse)).toDS(), spark)
       .queryExecution.executedPlan.toString
