@@ -68,6 +68,51 @@ object VideoHash {
       .filter(col("shared") >= minShared)
   }
 
+  /** Temporally ALIGNED near-dup runs — d20's bag-of-frames pair count
+    * upgraded with x36's diagonal run-merge (Dedup.exactDupSpans over
+    * frame numbers instead of token positions): a frame-hash match at
+    * (f1, f2) lies on diagonal d = f1 − f2, and only maximal runs of
+    * consecutive matches on one diagonal count as evidence. A shuffled
+    * montage of another video's frames shares every hash but aligns
+    * nowhere (every match sits on its own diagonal), while a trimmed or
+    * re-encoded copy puts its whole overlap on a single diagonal — the
+    * distinction shared-count near-dup is blind to.
+    *
+    * Output: one row per maximal aligned run of length ≥ `minRun`:
+    * (doc1, doc2, start1, start2, run_frames). Scale shape is d20's —
+    * inverted index on the 8-byte hash, DF-capped hot frames, plus one
+    * pair-keyed window whose occupancy is the match count of a single
+    * video pair (bounded by min frame count), never corpus-shaped.
+    */
+  def alignedFrameRuns(hashes: DataFrame, minRun: Int = 2,
+      maxHashDf: Int = 1000): DataFrame = {
+    require(minRun >= 1, "minRun must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pos = hashes.select(col("doc_id"), col("frame_no"), col("simhash"))
+    val hot = pos.groupBy(col("simhash"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxHashDf).select(col("simhash"))
+    val kept = pos.join(broadcast(hot), Seq("simhash"), "left_anti")
+    val matches = kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.frame_no").as("f1"), col("b.frame_no").as("f2"))
+    // within one (pair, diagonal) group f1 is unique (f2 = f1 - d), so
+    // the row_number order is total and the island key deterministic
+    val diag = Window.partitionBy(col("doc1"), col("doc2"), col("d"))
+      .orderBy(col("f1"))
+    matches
+      .withColumn("d", col("f1") - col("f2"))
+      .withColumn("island", col("f1") - row_number().over(diag))
+      .groupBy(col("doc1"), col("doc2"), col("d"), col("island"))
+      .agg(min(col("f1")).as("start1"), min(col("f2")).as("start2"),
+        count(lit(1)).as("run_frames"))
+      .filter(col("run_frames") >= minRun)
+      .select(col("doc1"), col("doc2"), col("start1"), col("start2"),
+        col("run_frames"))
+  }
+
   /** Deterministic gradient-frame AVI fixture: `2 + id % 3` frames of
     * 9×8 gradient PNGs whose pixel (x, y) of frame f is
     * ((imgId·31 + f·17 + x²·7 + y²·13) mod 251) + delta at (0,0) of
@@ -93,13 +138,47 @@ object VideoHash {
     }
   }
 
+  /** Alignment fixture: every doc's gradient AVI plus, for every 10th
+    * doc, two exact-frame derivatives built from the SAME frame bytes —
+    *   - a TRIMMED copy (id + 2·10⁶): frames 1..n−1, the classic
+    *     cut-the-intro edit; its whole overlap sits on diagonal d = 1,
+    *     so it aligns iff n − 1 ≥ minRun (4-frame videos pair, 2-frame
+    *     ones don't — a boundary both engines must agree on);
+    *   - a REVERSED montage (id + 3·10⁶): the same frames played
+    *     backwards — shares EVERY hash (bag-of-frames d20 pairs it at
+    *     shared = n) but each match lands on its own diagonal
+    *     d = (n−1) − 2·f, so no aligned run of 2 ever forms.
+    * No truncation here (lenient decode is m16/d20's concern) — the
+    * fixture isolates the alignment semantics.
+    */
+  def alignmentAvis(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val frames = gradientFrames(id, 0)
+        val base = MediaRow(id, "video/avi", buildAvi(frames))
+        if (id % 10 == 0)
+          Iterator(base,
+            MediaRow(id + 2000000L, "video/avi", buildAvi(frames.drop(1))),
+            MediaRow(id + 3000000L, "video/avi", buildAvi(frames.reverse)))
+        else Iterator.single(base)
+      }
+    }
+  }
+
   /** One fixture AVI (RIFF LIST hdrl/movi, word-aligned 00dc PNG
     * frames) — the Media.syntheticAvis container layout with gradient
     * frames.
     */
-  def gradientAvi(imgId: Long, delta: Int): Array[Byte] = {
+  def gradientAvi(imgId: Long, delta: Int): Array[Byte] =
+    buildAvi(gradientFrames(imgId, delta))
+
+  /** The fixture's PNG frame bytes: frame f's pixel (x, y) is
+    * ((imgId·31 + f·17 + x²·7 + y²·13) mod 251) + delta at (0,0,f=0).
+    */
+  def gradientFrames(imgId: Long, delta: Int): IndexedSeq[Array[Byte]] = {
     val nFrames = (2 + imgId % 3).toInt
-    val frames = (0 until nFrames).map { f =>
+    (0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(
         9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -118,6 +197,10 @@ object VideoHash {
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
+  }
+
+  /** Wrap already-encoded frames in the fixture AVI container. */
+  def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
     val hdrlBody = 4 + 8 + 56
     val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)

@@ -722,9 +722,58 @@ object MultimodalQueries {
     graft.multimodal.VideoHash.sharedFramePairs(hashes, minShared = 2)
   }
 
+  /** Temporally ALIGNED video near-dup runs (VideoHash.alignedFrameRuns —
+    * x36's diagonal run-merge over frame numbers): the alignment fixture
+    * plants, per 10th doc, a TRIMMED copy (frames 1..n−1 — its whole
+    * overlap is one d = 1 diagonal, aligning iff n−1 ≥ 2) and a REVERSED
+    * montage (shares EVERY hash, d20's bag-of-frames pairs it, but every
+    * match sits on its own diagonal so no run of 2 forms). The oracle
+    * replays frame hashes as integer SQL (the m16 construction with the
+    * position→content mapping of each derivative) and the island
+    * arithmetic as the x36 oracle does.
+    */
+  val videoAlignedRuns: Q = Q(
+    "d21_video_aligned_runs",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 2 + doc_id % 3 AS n FROM documents),
+       |fr AS (
+       |  SELECT doc_id, f AS frame_no, img, f, 0 AS delta
+       |  FROM (SELECT doc_id, img, unnest(range(0, n)) AS f FROM ids)
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, f - 1, img, f, 0
+       |  FROM (SELECT doc_id, img, unnest(range(1, n)) AS f FROM ids
+       |        WHERE doc_id % 10 = 0)
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, n - 1 - f, img, f, 0
+       |  FROM (SELECT doc_id, img, n, unnest(range(0, n)) AS f FROM ids
+       |        WHERE doc_id % 10 = 0)),
+       |h AS (
+       |  SELECT doc_id, frame_no, ${videoHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |         ${videoHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM fr),
+       |m AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |         a.frame_no AS f1, b.frame_no AS f2
+       |  FROM h a JOIN h b
+       |    ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc1, doc2, f1, f2, f1 - f2 AS d,
+       |    f1 - row_number() OVER (PARTITION BY doc1, doc2, f1 - f2
+       |                            ORDER BY f1) AS g
+       |  FROM m)
+       |SELECT doc1, doc2,
+       |  CAST(min(f1) AS INT) AS start1, CAST(min(f2) AS INT) AS start2,
+       |  CAST(count(*) AS BIGINT) AS run_frames
+       |FROM isl GROUP BY doc1, doc2, d, g
+       |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.VideoHash.alignmentAvis(t(s, dir, "documents"), s)
+    val hashes = graft.multimodal.VideoHash.frameHashes(rows, s)
+    graft.multimodal.VideoHash.alignedFrameRuns(hashes, minRun = 2)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
     incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
-    videoDupPairs)
+    videoDupPairs, videoAlignedRuns)
 }

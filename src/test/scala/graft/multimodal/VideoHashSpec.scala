@@ -53,6 +53,40 @@ class VideoHashSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet shouldBe Set((1L, 2L, 1L))
   }
 
+  behavior of "VideoHash.alignedFrameRuns"
+
+  it should "require consecutive same-diagonal matches, not shared bags" in {
+    val hashes = Seq(
+      // doc 1: four frames
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L),
+      // doc 2: doc 1 trimmed by one frame — aligned run of 3 on d = 1
+      (2L, 0, 11L), (2L, 1, 12L), (2L, 2, 13L),
+      // doc 3: doc 1 reversed — shares ALL four hashes, aligns nowhere
+      (3L, 0, 13L), (3L, 1, 12L), (3L, 2, 11L), (3L, 3, 10L),
+      // doc 4: two separate runs vs doc 1 (frames 0-1 then 3, d = 0)
+      (4L, 0, 10L), (4L, 1, 11L), (4L, 2, 99L), (4L, 3, 13L)
+    ).toDF("doc_id", "frame_no", "simhash")
+    val got = VideoHash.alignedFrameRuns(hashes, minRun = 2)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // the reversed montage pairs with NOTHING despite full hash overlap
+    got.filter(r => r._1 == 3L || r._2 == 3L) shouldBe empty
+    got.filter(r => r._1 == 1L && r._2 == 2L) shouldBe Set((1L, 2L, 1, 0, 3L))
+    got.filter(r => r._1 == 1L && r._2 == 4L) shouldBe Set((1L, 4L, 0, 0, 2L))
+    // ...while bag-of-frames sharedFramePairs happily pairs the montage
+    VideoHash.sharedFramePairs(hashes, minShared = 2)
+      .filter(col("doc2") === 3L).count() should be >= 1L
+  }
+
+  it should "plant trimmed positives and reversed negatives through the real decode" in {
+    // id 20 → 4 frames: trimmed copy (frames 1..3) aligns with run 3 on
+    // d = 1; reversed copy shares every hash but never aligns
+    val docs = Seq(20L).toDF("doc_id")
+    val hashes = VideoHash.frameHashes(VideoHash.alignmentAvis(docs, spark), spark)
+    val runs = VideoHash.alignedFrameRuns(hashes, minRun = 2)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    runs shouldBe Set((20L, 2000020L, 1, 0, 3L))
+  }
+
   it should "find planted near-dup copies through the real decode path" in {
     // id 20: 2+20%3=4 frames; the planted copy perturbs frame 0 only, so
     // they share at least frames 1..3
