@@ -310,10 +310,21 @@ object Dedup {
     // projection over it after round 1, so the block-freeing handle must
     // be the checkpoint product itself
     var checkpointed = labels
+    // CONVERGED-COMPONENT FRONTIER: only labels that CHANGED last round
+    // feed the edge-propagation join. Skipping an unchanged src loses
+    // nothing — its current label was already propagated to every
+    // neighbor in the round after it last changed (round 1 propagates
+    // everyone), and labels only ever decrease — so per-round output is
+    // bit-identical while the join's build side shrinks geometrically as
+    // components converge; once the frontier fits the broadcast
+    // threshold, AQE drops the edge-side shuffle entirely. The frontier
+    // is a filter-projection of the round's checkpoint — no extra
+    // materialization or lineage.
+    var frontier = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels.select(col("doc_id").as("src"), col("label")), "src")
+      val prop = edges.join(frontier.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       // pointer jump: the label of my label (labels is keyed by every
@@ -338,6 +349,8 @@ object Dedup {
       graft.core.Checkpoints.unpersistCheckpoint(checkpointed)
       checkpointed = next
       labels = next.select(col("doc_id"), col("nextLabel").as("label"))
+      frontier = next.filter(col("nextLabel") =!= col("prevLabel"))
+        .select(col("doc_id"), col("nextLabel").as("label"))
       iter += 1
     }
     // the result depends only on the final round's checkpoint — the edge
