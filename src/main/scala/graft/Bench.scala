@@ -79,13 +79,27 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // stdout can get truncated by the capture harness on long registries
-    // (BENCH_r07 arrived as a 58-query tail, parsed:null) — persist the
-    // full artifact to a file as well
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")
+    // (BENCH_r07/r08 arrived as a ~2 KB tail, parsed:null) — persist the
+    // full artifact to a file, and ALSO print a compact summary as the
+    // LAST line so the kept tail always contains one parseable JSON
+    // object (total + the slowest queries + a pointer to the full file)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LATEST.json").toString)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    catch {
+      // NonFatal only: an OOM/LinkageError here must fail the run, not
+      // be swallowed into a normal-looking success (round-8 ADVICE)
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] file write failed: $e")
+    }
+    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
+      .map { case (k, v, _) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"n_errors":${results.count(_._3.nonEmpty)},""" +
+      s""""slowest":$slowest,"full":"$out"}""")
     spark.stop()
   }
 }

@@ -164,6 +164,11 @@ object Dedup {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
+    // bandValue's bandBits >= 64 branch returns the WHOLE signature,
+    // correct only because signatures are 64-bit Longs; a wider `bits`
+    // would pass the divisibility check yet silently weaken the
+    // pigeonhole guarantee (round-8 ADVICE)
+    require(bits <= 64, "signatures are 64-bit Longs; bits must be <= 64")
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandValue(_, bandBits)): _*))
@@ -192,6 +197,7 @@ object Dedup {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     require(bits % nBands == 0, s"bits must divide into ${nBands} bands")
+    require(bits <= 64, "signatures are 64-bit Longs; bits must be <= 64")
     def banded(df: DataFrame): DataFrame = df.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandValue(_, bandBits)): _*))

@@ -697,7 +697,11 @@ object MultimodalQueries {
     * so copies of 3–4-frame videos pair at minShared = 2 while 2-frame
     * copies whose perturbed frame flipped a bit drop out, both engines
     * agreeing. The oracle is the naive distinct-hash equijoin +
-    * HAVING count ≥ 2.
+    * HAVING count ≥ 2, MINUS the hashes the Spark side's maxHashDf cap
+    * drops: fixture hashes depend only on (img·31 + f·17) mod 251, so
+    * per-hash document frequency grows ~nDocs/84 and past ~85k docs the
+    * cap binds — the oracle must model it or the engines diverge at
+    * larger scale factors (round-8 ADVICE).
     */
   val videoDupPairs: Q = Q(
     "d20_video_dup_pairs",
@@ -708,10 +712,12 @@ object MultimodalQueries {
        |  SELECT doc_id + 1000000, doc_id, 3 FROM documents WHERE doc_id % 10 = 0),
        |fr AS (
        |  SELECT doc_id, img, delta, unnest(range(0, 2 + img % 3)) AS f FROM ids),
-       |h AS (
+       |h0 AS (
        |  SELECT DISTINCT doc_id, ${videoHalfSql("4,5,6,7", "(y-4)")} AS hi,
        |         ${videoHalfSql("0,1,2,3", "y")} AS lo
-       |  FROM fr)
+       |  FROM fr),
+       |hot AS (SELECT hi, lo FROM h0 GROUP BY hi, lo HAVING count(*) > 1000),
+       |h AS (SELECT * FROM h0 ANTI JOIN hot USING (hi, lo))
        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
        |FROM h a JOIN h b
        |  ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
@@ -730,7 +736,8 @@ object MultimodalQueries {
     * match sits on its own diagonal so no run of 2 forms). The oracle
     * replays frame hashes as integer SQL (the m16 construction with the
     * position→content mapping of each derivative) and the island
-    * arithmetic as the x36 oracle does.
+    * arithmetic as the x36 oracle does — including the maxHashDf cap
+    * (hot-hash ANTI JOIN), so both engines agree at every scale factor.
     */
   val videoAlignedRuns: Q = Q(
     "d21_video_aligned_runs",
@@ -747,10 +754,13 @@ object MultimodalQueries {
        |  SELECT doc_id + 3000000, n - 1 - f, img, f, 0
        |  FROM (SELECT doc_id, img, n, unnest(range(0, n)) AS f FROM ids
        |        WHERE doc_id % 10 = 0)),
-       |h AS (
+       |h0 AS (
        |  SELECT doc_id, frame_no, ${videoHalfSql("4,5,6,7", "(y-4)")} AS hi,
        |         ${videoHalfSql("0,1,2,3", "y")} AS lo
        |  FROM fr),
+       |hot AS (SELECT hi, lo FROM h0 GROUP BY hi, lo
+       |        HAVING count(DISTINCT doc_id) > 1000),
+       |h AS (SELECT * FROM h0 ANTI JOIN hot USING (hi, lo)),
        |m AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
        |         a.frame_no AS f1, b.frame_no AS f2
