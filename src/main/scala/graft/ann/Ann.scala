@@ -283,6 +283,61 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Sign-bit (1-bit) signature of an embedding: bit i set iff
+    * component i > 0, packed into one Long — 64× smaller than the
+    * float[64] it summarizes, the billion-vector candidate layout one
+    * rung below int8 (64 bits vs 64 bytes vs 256 bytes per vector).
+    * Same static-unroll shape as [[graft.dedup.Dedup.simhash]]'s bit
+    * votes: 64 codegen'd when-terms OR'd (bitwiseOR, not +, because bit
+    * 63 is Long.MinValue and ANSI addition would overflow-check).
+    */
+  def binarySig(e: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, "binary signatures pack into one Long; dim must be <= 64")
+    (0 until dim).map(i => when(element_at(e, i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Two-stage retrieval over 1-bit signatures: coarse top-`coarseK`
+    * per query by Hamming distance between sign signatures (xor +
+    * bit_count over Longs — the cheapest possible scan per candidate),
+    * then exact cosine rerank of the survivors. Asymmetric like
+    * [[int8RerankKnn]]: queries stay full precision for the rerank. The
+    * coarse ranking is the k-bounded combinable [[bruteForceKnn]] shape
+    * (TopKAgg on (−hamming, id) — never a corpus-occupancy window), so
+    * the scan shuffles ≤ coarseK·queries·partitions rows of
+    * (query, id, hamming) longs. With coarseK ≥ corpus size the result
+    * equals bruteForceKnn exactly (AnnSpec locks it); at production
+    * sizes coarseK/k is the recall knob, with 1-bit recall sitting
+    * below int8's for the same coarseK — the price of 8× further
+    * compression.
+    */
+  def binaryRerankKnn(embeddings: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int = 32, dim: Int = 64): DataFrame = {
+    val cand = embeddings.select(col("vec_id").as("neighbor_id"),
+      binarySig(toD(col("embedding")), dim).as("nsig"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      binarySig(toD(col("embedding")), dim).as("qsig")))
+    // ranking key: hamming ASC with id-ascending ties = TopKAgg's
+    // (score DESC, id ASC) on the negated distance
+    val coarse = cand.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bit_count(col("qsig").bitwiseXOR(col("nsig")))).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(coarseK)(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("neighbor_id"))
+    val sim = VectorOps.cosine(col("qe"), col("ne"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    coarse
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        toD(col("embedding")).as("ne")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        toD(col("embedding")).as("qe"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: route each query to its `nprobe` nearest centroid cells,
     * then exact top-k within those cells only. The fine search shuffles on
     * the cell key; with C cells it scans ~nprobe/C of the corpus per

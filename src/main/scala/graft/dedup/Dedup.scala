@@ -295,6 +295,11 @@ object Dedup {
     // changed starts at 1 so the loop runs at least once; maxIter <= 0
     // would skip the loop entirely and mis-report as non-convergence
     require(maxIter > 0, s"clusters() needs maxIter > 0, got $maxIter")
+    // tiny-row advisory for the label rounds: (doc_id, label) rows are
+    // 16 bytes but CPU-heavy to aggregate — without it AQE's byte-based
+    // coalescing rebuilds the few-fat-tasks wall the 40M LPA A/B
+    // measured (SCALE.md "label_propagation at 40M")
+    graft.core.AqeHints.withTinyRowAdvisory(pairs.sparkSession) {
     // SERIALIZED storage for the edge blocks: edges are only ever
     // SCANNED once per round (never random-accessed), and they are the
     // one frame here whose size tracks the candidate volume — at 40M
@@ -367,6 +372,7 @@ object Dedup {
         "moving) — with pointer doubling this means a component ~2^maxIter hops " +
         "across; raise maxIter")
     (labels.select(col("doc_id"), col("label").as("canonical_id")), iter)
+    }
   }
 
   /** Quality-aware canonical selection over resolved duplicate clusters:

@@ -92,22 +92,23 @@ object Graph {
     * times — measured at 45 s vs 1.1 s for a 3-round peel over the g3
     * fixture's md5 self-join at sf0.1.
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true, ser)
-    for (_ <- 1 to rounds) {
-      val survivors = degrees(e).filter(col("degree") >= k).select(col("node"))
-      val next = e
-        .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        // the Seq-key join hoists its key first — keep (src, dst) order
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true, ser)
-      graft.core.Checkpoints.unpersistCheckpoint(e)
-      e = next
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    graft.core.AqeHints.withTinyRowAdvisory(edges.sparkSession) {
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      var e = edges.select(col("src"), col("dst")).localCheckpoint(true, ser)
+      for (_ <- 1 to rounds) {
+        val survivors = degrees(e).filter(col("degree") >= k).select(col("node"))
+        val next = e
+          .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          // the Seq-key join hoists its key first — keep (src, dst) order
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true, ser)
+        graft.core.Checkpoints.unpersistCheckpoint(e)
+        e = next
+      }
+      e
     }
-    e
-  }
 
   /** The converged k-core: peel until the edge set is stable. Each
     * round materializes a count (the convergence test) — the peel's
@@ -149,23 +150,24 @@ object Graph {
     * read by the next round's join AND union, so an un-cut lineage
     * doubles per round).
     */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true, ser)
-    for (_ <- 1 to rounds) {
-      val next = und.join(dist, und("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true, ser)
-      graft.core.Checkpoints.unpersistCheckpoint(dist)
-      dist = next
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    graft.core.AqeHints.withTinyRowAdvisory(edges.sparkSession) {
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      var dist = seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L)).localCheckpoint(true, ser)
+      for (_ <- 1 to rounds) {
+        val next = und.join(dist, und("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .unionByName(dist)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true, ser)
+        graft.core.Checkpoints.unpersistCheckpoint(dist)
+        dist = next
+      }
+      dist
     }
-    dist
-  }
 
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
     * fixed iterations with deterministic ties: every node starts
@@ -188,34 +190,39 @@ object Graph {
     * generation (the [[bfsDistances]] discipline). Parallel edges count
     * as extra votes; feed a deduped edge list for simple-graph voting.
     *
-    * AQE caveat (measured, SCALE.md "label_propagation at 40M"): vote
-    * rows are 16-byte longs but CPU-heavy to aggregate, so AQE's
-    * BYTE-based partition coalescing (advisory 64 MB) rebuilds the
-    * few-fat-tasks pathology on any requested partition count — at 40M
-    * edges, `spark.sql.adaptive.advisoryPartitionSizeInBytes=8m` was
-    * 2.2× wall and 2.1× CPU over the default. Size the advisory down
-    * for tiny-row aggregation graphs (applies equally to [[pageRank]]
-    * and [[bfsDistances]]).
+    * AQE (measured, SCALE.md "label_propagation at 40M"): vote rows
+    * are 16-byte longs but CPU-heavy to aggregate, so AQE's BYTE-based
+    * partition coalescing (advisory 64 MB) rebuilds the few-fat-tasks
+    * pathology on any requested partition count — at 40M edges,
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes=8m` was 2.2×
+    * wall and 2.1× CPU BETTER than the default. Since round 9 the 8 MB
+    * advisory is applied BY DEFAULT for the duration of the rounds via
+    * [[graft.core.AqeHints.withTinyRowAdvisory]] (also [[kCorePeel]],
+    * [[bfsDistances]], and [[graft.dedup.Dedup.clusters]]); [[pageRank]]
+    * stays lazy — its plan executes at the caller's sink, outside any
+    * scope this function could manage, so callers materializing huge
+    * pageRank runs should apply the same advisory at their sink.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true, ser)
-    for (_ <- 1 to rounds) {
-      val next = und.join(labels, und("src") === labels("node"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("best"))
-        .select(col("node"), col("best").getField("label").as("label"))
-        .localCheckpoint(true, ser)
-      graft.core.Checkpoints.unpersistCheckpoint(labels)
-      labels = next
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    graft.core.AqeHints.withTinyRowAdvisory(edges.sparkSession) {
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint(true, ser)
+      for (_ <- 1 to rounds) {
+        val next = und.join(labels, und("src") === labels("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(struct((-col("cnt")).as("neg_cnt"), col("label"))).as("best"))
+          .select(col("node"), col("best").getField("label").as("label"))
+          .localCheckpoint(true, ser)
+        graft.core.Checkpoints.unpersistCheckpoint(labels)
+        labels = next
+      }
+      labels
     }
-    labels
-  }
 
   /** Per-node local clustering coefficient over the undirected edge
     * list: 2·t(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 nodes. High

@@ -113,6 +113,37 @@ object VideoHash {
         col("run_frames"))
   }
 
+  /** Shot segmentation over per-frame perceptual hashes: a CUT lands
+    * wherever the Hamming distance between consecutive frame hashes
+    * exceeds `threshold` (a hard scene change flips many gradient bits
+    * at once; within-shot motion flips few — the standard dHash-delta
+    * shot detector), and frames between cuts group into shots. Output:
+    * one row per shot — (doc_id, shot_no, start_frame, end_frame,
+    * n_frames), shot_no 0-based in frame order.
+    *
+    * Scale shape: both windows and the final agg share one partitioning
+    * on doc_id — a single shuffle whose partition occupancy is one
+    * video's frame count (bounded by clip length), never corpus-shaped;
+    * everything downstream of the lag is codegen'd integer arithmetic.
+    */
+  def sceneCuts(hashes: DataFrame, threshold: Int = 8): DataFrame = {
+    require(threshold >= 0 && threshold < 64, "threshold is a 64-bit Hamming bound")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hashes.select(col("doc_id"), col("frame_no"), col("simhash"))
+      .withColumn("prev", lag(col("simhash"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull ||
+          bit_count(col("simhash").bitwiseXOR(col("prev"))) > threshold, 1)
+          .otherwise(0))
+      .withColumn("shot_no", (sum(col("cut")).over(run) - 1).cast("int"))
+      .groupBy(col("doc_id"), col("shot_no"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Deterministic gradient-frame AVI fixture: `2 + id % 3` frames of
     * 9×8 gradient PNGs whose pixel (x, y) of frame f is
     * ((imgId·31 + f·17 + x²·7 + y²·13) mod 251) + delta at (0,0) of
@@ -134,6 +165,48 @@ object VideoHash {
         if (planted && id % 10 == 0)
           Iterator(base, MediaRow(id + 1000000L, "video/avi", gradientAvi(id, 3)))
         else Iterator.single(base)
+      }
+    }
+  }
+
+  /** Scene fixture: `4 + id % 3` frames; docs with id % 3 ≠ 0 switch
+    * SCENE at frame `2 + id % 2` — the second scene swaps the gradient
+    * orientation (x²·13 + y²·7, plus a 97 offset) so its hashes are
+    * ~independent of scene 1's (Hamming ≈ 32), while within-scene
+    * neighbors differ by the +17 frame shift only (Hamming ≈ 8). Docs
+    * with id % 3 = 0 stay single-scene. No truncation or deltas —
+    * lenient-decode semantics are m16's concern; this fixture isolates
+    * shot segmentation.
+    */
+  def sceneAvis(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = (4 + id % 3).toInt
+        val split = (2 + id % 2).toInt
+        val twoScene = id % 3 != 0
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val v =
+                if (twoScene && f >= split)
+                  ((id * 31 + f * 17 + x.toLong * x * 13 + y.toLong * y * 7 + 97) % 251).toInt
+                else
+                  ((id * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13) % 251).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        MediaRow(id, "video/avi", buildAvi(frames))
       }
     }
   }

@@ -243,6 +243,52 @@ object GraphQueries {
     }
   }
 
+  /** PageRank over the EXTRACTED document link graph — the full
+    * crawl-analysis composition: fixture HTML (TextQueries'
+    * x50 link fixture) → HtmlExtract.links (codegen'd href harvest) →
+    * target-id parse → distinct doc-level edges → 3 integer PageRank
+    * iterations. The oracle never sees HTML: it predicts the same edge
+    * set from the fixture arithmetic and unrolls the same three
+    * integer iterations (the g2 construction) — so the whole chain,
+    * extraction included, must agree bit-for-bit.
+    */
+  val linkRankQ: Q = {
+    val scale = 1000000L
+    val iter = (r: String, out: String) =>
+      s"""$out AS (
+         |  SELECT d.dst AS node,
+         |    (15 * $scale + 85 * sum(rr.rank // a.deg)) // 100 AS rank
+         |  FROM d JOIN deg a ON d.src = a.node JOIN $r rr ON d.src = rr.node
+         |  GROUP BY d.dst)""".stripMargin
+    Q(
+      "g7_pagerank_links",
+      s"""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |l AS (
+         |  SELECT doc_id AS src,
+         |    (doc_id*13 + link_no*7 + 1) % (SELECT nn FROM n) AS dst
+         |  FROM (SELECT doc_id, unnest(range(0, CAST(doc_id % 4 AS INT))) AS link_no
+         |        FROM documents)),
+         |e AS (SELECT DISTINCT src, dst FROM l),
+         |d AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM d GROUP BY src),
+         |r0 AS (SELECT node, $scale AS rank FROM deg),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin) { (s, dir) =>
+      import graft.text.HtmlExtract
+      val edges = TextQueries.linkFixtureHtml(t(s, dir, "documents"))
+        .select(col("doc_id").as("src"),
+          explode(HtmlExtract.links(col("html"))).as("href"))
+        .select(col("src"),
+          regexp_extract(col("href"), "^https://d(\\d+)\\.example", 1)
+            .cast("long").as("dst"))
+        .distinct()
+      Graph.pageRank(edges, iterations = 3, scale = scale)
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ, bfsQ, labelPropQ)
+    triangleCount, pageRankQ, kCorePeelQ, clusteringCoeffQ, bfsQ, labelPropQ,
+    linkRankQ)
 }

@@ -781,9 +781,71 @@ object MultimodalQueries {
     graft.multimodal.VideoHash.alignedFrameRuns(hashes, minRun = 2)
   }
 
+  /** The scene-fixture dHash half as SQL: the m16 construction with the
+    * per-scene pixel polynomial (scene 2 swaps the gradient coefficients
+    * and adds 97 — see VideoHash.sceneAvis).
+    */
+  private def sceneHalfSql(ys: String, shift: String): String = {
+    def pix(xe: String): String =
+      s"""(CASE WHEN sc = 1 AND f >= split
+         |  THEN (img*31 + f*17 + ($xe)*($xe)*13 + y*y*7 + 97) % 251
+         |  ELSE (img*31 + f*17 + ($xe)*($xe)*7 + y*y*13) % 251 END)""".stripMargin
+    s"""CAST(list_sum(flatten(list_transform([$ys], y ->
+       |  list_transform([0,1,2,3,4,5,6,7], x ->
+       |    CASE WHEN ${pix("x+1")} > ${pix("x")}
+       |         THEN CAST(1 AS BIGINT) << ($shift*8 + x) ELSE 0
+       |    END)))) AS BIGINT)""".stripMargin
+  }
+
+  /** Shot segmentation (VideoHash.sceneCuts) over REAL decode of the
+    * scene fixture: consecutive-frame Hamming > 20 opens a new shot —
+    * within a scene the +17 frame shift flips ~8 of 64 gradient bits,
+    * across the planted scene change the swapped-orientation hashes are
+    * ~independent (~32) — and frames group into (doc, shot) rows. The
+    * oracle replays every frame hash as integer SQL (hi/lo halves), the
+    * lag + Hamming + running-sum shot numbering, and the per-shot
+    * rollup; the windowed sum is CAST (DuckDB HUGEINT discipline).
+    */
+  val videoSceneCuts: Q = Q(
+    "m17_video_scene_cuts",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img,
+       |    CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS sc,
+       |    2 + doc_id % 2 AS split, 4 + doc_id % 3 AS n
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, img, sc, split, unnest(range(0, n)) AS f FROM ids),
+       |h AS (
+       |  SELECT doc_id, CAST(f AS INT) AS frame_no,
+       |    ${sceneHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |    ${sceneHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM fr),
+       |d AS (
+       |  SELECT doc_id, frame_no, hi, lo,
+       |    lag(hi) OVER w AS phi, lag(lo) OVER w AS plo
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+       |c AS (
+       |  SELECT doc_id, frame_no,
+       |    CASE WHEN phi IS NULL
+       |           OR bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) > 20
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, frame_no,
+       |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no) - 1 AS INT) AS shot_no
+       |  FROM c)
+       |SELECT doc_id, shot_no, CAST(min(frame_no) AS INT) AS start_frame,
+       |  CAST(max(frame_no) AS INT) AS end_frame,
+       |  CAST(count(*) AS BIGINT) AS n_frames
+       |FROM s GROUP BY doc_id, shot_no""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.VideoHash.sceneAvis(t(s, dir, "documents"), s)
+    val hashes = graft.multimodal.VideoHash.frameHashes(rows, s)
+    graft.multimodal.VideoHash.sceneCuts(hashes, threshold = 20)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
     incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
-    videoDupPairs, videoAlignedRuns)
+    videoDupPairs, videoAlignedRuns, videoSceneCuts)
 }

@@ -1712,6 +1712,150 @@ object TextQueries {
     }
   }
 
+  /** Link fixture shared by x50/g7: each doc's HTML carries
+    * `doc_id % 4` anchors whose targets walk the corpus —
+    * `(doc_id·13 + j·7 + 1) mod N` for link j, N the corpus size
+    * (a SCALAR broadcast aggregate, never a driver action) — with the
+    * quote style alternating by j (double/single) and three decoys the
+    * extractor must ignore: a `<link href>` stylesheet, a `<base href>`,
+    * and an href-less `<a name>` anchor.
+    */
+  private[queries] def linkFixtureHtml(docs: DataFrame): DataFrame = {
+    val n = broadcast(docs.agg(count(lit(1)).as("nn")))
+    val nLinks = (col("doc_id") % 4).cast("int")
+    val anchors = array_join(
+      transform(
+        when(nLinks === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nLinks - 1)),
+        j => {
+          val href = concat(lit("https://d"),
+            (col("doc_id") * 13 + j.cast("long") * 7 + 1) % col("nn"),
+            lit(".example.com/p/"), col("doc_id"))
+          concat(lit("<a class=\"l\" href="),
+            when(j % 2 === 0, concat(lit("\""), href, lit("\"")))
+              .otherwise(concat(lit("'"), href, lit("'"))),
+            lit(">t</a>"))
+        }), "")
+    docs.select(col("doc_id")).crossJoin(n)
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><link rel=\"stylesheet\" href=\"/style.css\">"),
+        lit("<base href=\"https://ignore.me/\"></head>"),
+        lit("<body><a name=\"top\"></a><p>Doc "), col("doc_id"),
+        lit(" body</p>"), anchors, lit("</body></html>")).as("html"))
+  }
+
+  /** Outgoing-link extraction (HtmlExtract.links — one codegen'd
+    * regexp_extract_all, both quote styles, decoy link/base/name tags
+    * ignored): (doc_id, link_no, href) in document order. The oracle
+    * predicts the hrefs analytically from the fixture arithmetic — the
+    * x43 posture: it checks extraction SEMANTICS, not the regex.
+    */
+  val htmlLinks: Q = Q(
+    "x50_html_links",
+    """WITH n AS (SELECT count(*) AS nn FROM documents),
+      |j AS (SELECT doc_id, unnest(range(0, CAST(doc_id % 4 AS INT))) AS link_no
+      |      FROM documents)
+      |SELECT doc_id, CAST(link_no AS INT) AS link_no,
+      |  'https://d' || CAST((doc_id*13 + link_no*7 + 1) % (SELECT nn FROM n) AS VARCHAR) ||
+      |  '.example.com/p/' || CAST(doc_id AS VARCHAR) AS href
+      |FROM j""".stripMargin) { (s, dir) =>
+    import graft.text.HtmlExtract
+    linkFixtureHtml(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        posexplode(HtmlExtract.links(col("html"))).as(Seq("link_no", "href")))
+      .select(col("doc_id"), col("link_no").cast("int").as("link_no"), col("href"))
+  }
+
+  /** Cross-snapshot URL dedup (CrawlSnapshots.latestWins): three
+    * fetches per page — ids 3p, 3p+1, 3p+2 carry x41's URL-variant
+    * forms over a host keyed on the PAGE (so variants 0–2 canonicalize
+    * together; the fragment-only variant 3 lands on the query-less
+    * canonical) — with fetch_ts = doc_id and content re-used so the
+    * middle fetch repeats the first's payload (content id
+    * `doc_id − id%3 + id%3 // 2`). Latest-wins must pick the highest
+    * ts, count fetches and distinct versions, and flag change against
+    * the SECOND-latest fetch; the oracle replays canonicalization (the
+    * x41 chain), the (ts DESC, hash) window, and the rollup.
+    */
+  val urlSnapshotDedup: Q = Q(
+    "d22_url_snapshot_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'HTTPS://Site' || CAST((doc_id // 3) % 23 AS VARCHAR) || '.Example.COM:443/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      |      WHEN 1 THEN 'http://site' || CAST((doc_id // 3) % 23 AS VARCHAR) || '.example.com:80/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2&fbclid=x' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'https://site' || CAST((doc_id // 3) % 23 AS VARCHAR) || '.example.com/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '?b=2&a=1'
+      |      ELSE 'https://SITE' || CAST((doc_id // 3) % 23 AS VARCHAR) || '.Example.com/doc/' ||
+      |        CAST(doc_id // 3 AS VARCHAR) || '#sec'
+      |    END AS url,
+      |    doc_id AS ts,
+      |    doc_id - (doc_id % 3) + (doc_id % 3) // 2 AS cid
+      |  FROM documents),
+      |c AS (
+      |  SELECT r.url, r.ts, md5(d.text) AS h
+      |  FROM raw r JOIN documents d ON d.doc_id = r.cid),
+      |parts AS (
+      |  SELECT url, ts, h,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS auth0,
+      |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+      |    CASE WHEN url LIKE '%?%' THEN regexp_extract(url, '\?([^#]*)', 1) END AS q0
+      |  FROM c),
+      |kept AS (
+      |  SELECT ts, h, scheme, auth0, path0,
+      |    list_filter(string_split(q0, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$')) AS ps
+      |  FROM parts),
+      |canon AS (
+      |  SELECT ts, h,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+      |          WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+      |          ELSE auth0 END) ||
+      |    (CASE WHEN path0 IS NULL OR path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN ps IS NULL OR len(ps) = 0 THEN ''
+      |          ELSE '?' || array_to_string(list_sort(ps), '&') END) AS canonical_url
+      |  FROM kept),
+      |rn AS (
+      |  SELECT canonical_url, ts, h,
+      |    row_number() OVER (PARTITION BY canonical_url ORDER BY ts DESC, h) AS rn
+      |  FROM canon)
+      |SELECT canonical_url,
+      |  CAST(max(CASE WHEN rn = 1 THEN ts END) AS BIGINT) AS latest_ts,
+      |  max(CASE WHEN rn = 1 THEN h END) AS latest_hash,
+      |  CAST(count(*) AS BIGINT) AS n_fetches,
+      |  CAST(count(DISTINCT h) AS BIGINT) AS n_versions,
+      |  (max(CASE WHEN rn = 2 THEN h END) IS NOT NULL AND
+      |   max(CASE WHEN rn = 2 THEN h END) <> max(CASE WHEN rn = 1 THEN h END)) AS changed_last
+      |FROM rn GROUP BY 1""".stripMargin) { (s, dir) =>
+    val k = (floor(col("doc_id") / 3) % 23).cast("string")
+    val page = floor(col("doc_id") / 3).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Site"), k, lit(".Example.COM:443/doc/"), page,
+          lit("?utm_source=feed&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://site"), k, lit(".example.com:80/doc/"), page,
+          lit("?a=1&b=2&fbclid=x"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), k, lit(".example.com/doc/"), page,
+          lit("?b=2&a=1")))
+      .otherwise(
+        concat(lit("https://SITE"), k, lit(".Example.com/doc/"), page,
+          lit("#sec")))
+    val docs = t(s, dir, "documents")
+    val fetches = docs
+      .select(url.as("url"), col("doc_id").as("fetch_ts"),
+        (col("doc_id") - col("doc_id") % 3 +
+          floor((col("doc_id") % 3) / 2).cast("long")).as("cid"))
+      .join(docs.select(col("doc_id").as("cid"), col("text").as("content")), "cid")
+    graft.pipelines.CrawlSnapshots.latestWins(fetches)
+  }
+
   /** Corpus snapshot diff (CorpusDiff.diff): the after-version drops
     * every 13th doc, rewrites every 7th, and adds a fresh doc per 10th
     * id — the oracle replays the mutation rules as a CASE (removed wins
@@ -2373,7 +2517,7 @@ object TextQueries {
     gopherStats, winnowedFps, spanOverlap, contrastiveTriples, lengthBuckets, domainStats,
     ngramPerplexity, dsirWeights, boilerplateRemoval, weightedSample,
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
-    phraseSearch, urlCanonical, gopherGates, htmlExtract,
+    phraseSearch, urlCanonical, gopherGates, htmlExtract, htmlLinks,
     prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
-    lrQualityScore, bpePackedShards, tokenBudget)
+    lrQualityScore, bpePackedShards, tokenBudget, urlSnapshotDedup)
 }

@@ -594,7 +594,40 @@ object VectorQueries {
         round(col("comp"), 6).as("comp"))
   }
 
+  /** 1-bit (sign) quantization + Hamming coarse pass + exact rerank
+    * (Ann.binaryRerankKnn) — the compression rung below int8: 64 bits
+    * per vector, candidates scanned with xor + popcount. The oracle
+    * replays the sign semantics WITHOUT packing — hamming =
+    * |{i : (qe[i] > 0) ≠ (ne[i] > 0)}| — which equals
+    * bit_count(qsig ^ nsig) by construction, so the two engines agree
+    * bit-for-bit while testing the packed path end-to-end.
+    */
+  val binaryRerank: Q = Q(
+    "v16_binary_rerank",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, qe, ne,
+      |    len(list_filter(range(64), i -> (qe[i+1] > 0) <> (ne[i+1] > 0))) AS hamming
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |coarse AS (
+      |  SELECT query_id, neighbor_id, qe, ne FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY hamming, neighbor_id) AS crn
+      |    FROM scored) WHERE crn <= 32)
+      |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rn AS INT) AS rank FROM (
+      |  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ne) AS sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY list_cosine_similarity(qe, ne) DESC, neighbor_id) AS rn
+      |  FROM coarse) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    Ann.binaryRerankKnn(e, e.filter(col("vec_id") < 5), k = 3, coarseK = 32)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(knnBrute, lshAnnPairs, labelCentroids, vectorNorms, ivfSearch,
     kmeansCells, ivfNprobe, int8Quantize, int8Rerank, semanticDedup,
-    pqCodes, pqAdcTopK, pqRerank, ivfPq, covarianceMatrix, randomProjection)
+    pqCodes, pqAdcTopK, pqRerank, ivfPq, covarianceMatrix, randomProjection,
+    binaryRerank)
 }

@@ -87,4 +87,15 @@ object HtmlExtract {
     */
   def linkCount(html: Column): Column =
     size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0)))
+
+  /** All outgoing hrefs, in document order — the crawl-frontier /
+    * link-graph extractor (anchor targets feed PageRank-style quality
+    * signals and the next fetch round). Same posture as the rest of the
+    * chain: one codegen'd regexp_extract_all, double- or single-quoted
+    * attribute values, whitespace tolerated around `=`, no tree parse.
+    * Unquoted hrefs (pre-HTML4 relic) are a declared non-goal.
+    */
+  def links(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
 }

@@ -48,6 +48,39 @@ class AnnSpec extends SparkSpec {
 
   private def exactAllCount(df: org.apache.spark.sql.DataFrame): Long = df.count()
 
+  "binarySig" should "pack sign bits into the expected Long" in {
+    // components 0, 2, 63 positive → bits 0, 2, 63; zeros and negatives unset
+    val e = Array.fill(64)(0.0f)
+    e(0) = 0.5f; e(2) = 1e-9f; e(63) = 3.0f; e(1) = -0.5f
+    val sig = Seq((1L, e.toSeq)).toDF("vec_id", "embedding")
+      .select(Ann.binarySig(graft.functions.VectorOps.toDoubleArray(col("embedding")), 64))
+      .as[Long].head()
+    sig shouldBe ((1L << 0) | (1L << 2) | (1L << 63))
+  }
+
+  "binaryRerankKnn" should "equal brute force when coarseK covers the corpus" in {
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceKnn(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val full = Ann.binaryRerankKnn(emb, queries, k = 3, coarseK = n)
+      .select("query_id", "neighbor_id", "rank")
+    full.exceptAll(exact).count() shouldBe 0
+    exactAllCount(exact) shouldBe exactAllCount(full)
+  }
+
+  it should "retain most true neighbors through a 32-candidate sign-bit coarse pass" in {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceKnn(emb, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = Ann.binaryRerankKnn(emb, queries, k = 3, coarseK = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.intersect(rer).count().toDouble
+    // 1 bit/component keeps only direction octants — recall at 32
+    // candidates sits below int8's but must stay well above chance
+    overlap / exact.count() should be >= 0.6
+  }
+
   "ivfSearch" should "match brute force whenever the true top-1 is in the query's cell" in {
     val brute = Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 1)
       .select(col("query_id"), col("neighbor_id").as("true_top"))

@@ -101,6 +101,27 @@ class PipelineSpec extends SparkSpec {
     syn.filter(col("entityId") === "ENSG0001").count() shouldBe 0
   }
 
+  it should "be deterministic across two fits in the same JVM (fixed seed + partitions)" in {
+    // W2VConfig pins seed=42; with a pinned partition count the MLlib
+    // trainer's async model averaging has a fixed replica layout, so two
+    // fits over the same bags must produce identical vectors — the guard
+    // that seed-drift (a Spark upgrade defaulting to random seeds, a
+    // config regression dropping setSeed) fails loudly instead of
+    // silently degrading embedding reproducibility.
+    val cfg = Embedding.W2VConfig(vectorSize = 8, numPartitions = 1)
+    val m1 = Embedding.generateModel(matches, spark, cfg)
+    val m2 = Embedding.generateModel(matches, spark, cfg)
+    val v1 = m1.getVectors.orderBy("word").collect().map(_.toString)
+    val v2 = m2.getVectors.orderBy("word").collect().map(_.toString)
+    v1 shouldBe v2
+    // and the user-visible ranking is stable, not just the raw floats
+    val s1 = Vectors.synonyms(m1, "ENSG0001", 3)
+      .select("entityId").as[String].collect().toSeq
+    val s2 = Vectors.synonyms(m2, "ENSG0001", 3)
+      .select("entityId").as[String].collect().toSeq
+    s1 shouldBe s2
+  }
+
   "Word2Vec model" should "survive a save/load round trip" in {
     val model = Embedding.generateModel(matches, spark,
       Embedding.W2VConfig(vectorSize = 8, numPartitions = 1))

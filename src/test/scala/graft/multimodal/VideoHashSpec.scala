@@ -98,4 +98,30 @@ class VideoHashSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) shouldBe Array((20L, 1000020L))
     pairs.head._3 should be >= 3L
   }
+
+  "sceneCuts" should "open a shot exactly where consecutive-frame hamming exceeds the threshold" in {
+    // doc 1: frames 0,1 differ by 1 bit; frames 1→2 jump by 9 bits
+    // (0x1FF flips bits 0..8); doc 2: single frame → one 1-frame shot
+    val hashes = Seq(
+      (1L, 0, 0x0L), (1L, 1, 0x1L), (1L, 2, 0x1FEL),
+      (2L, 0, 0x7L)).toDF("doc_id", "frame_no", "simhash")
+    val shots = VideoHash.sceneCuts(hashes, threshold = 8)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    shots shouldBe Set(
+      (1L, 0, 0, 1, 2L),  // frames 0–1, within-threshold drift
+      (1L, 1, 2, 2, 1L),  // the 9-bit jump opens shot 1
+      (2L, 0, 0, 0, 1L))
+  }
+
+  it should "segment the scene fixture at the planted orientation swap through the real decode" in {
+    // id 1: 4+1%3=5 frames, two-scene (1%3≠0), split at 2+1%2=3 →
+    // shots {0..2}, {3..4}; id 3 (3%3=0, 4 frames) stays single-scene
+    val shots = VideoHash.sceneCuts(VideoHash.frameHashes(
+        VideoHash.sceneAvis(Seq(1L, 3L).toDF("doc_id"), spark), spark),
+      threshold = 20)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    shots shouldBe Set(
+      (1L, 0, 0, 2, 3L), (1L, 1, 3, 4, 2L),
+      (3L, 0, 0, 3, 4L))
+  }
 }

@@ -77,6 +77,26 @@ class HtmlExtractSpec extends SparkSpec {
     df.select(HtmlExtract.linkCount($"h")).as[Int].head() shouldBe 2
   }
 
+  behavior of "links"
+
+  private def hrefs(html: String): Seq[String] =
+    Seq(html).toDF("h").select(HtmlExtract.links($"h")).as[Seq[String]].head()
+
+  it should "extract hrefs in document order from both quote styles" in {
+    hrefs("""<a href="http://a/1">x</a><p>mid</p><A HREF='http://b/2'>y</A>""") shouldBe
+      Seq("http://a/1", "http://b/2")
+  }
+
+  it should "ignore link/base tags and href-less anchors" in {
+    hrefs("""<link rel="stylesheet" href="/css"><base href="http://base/">""" +
+      """<a name="top"></a><a class="l" href="http://real/">r</a>""") shouldBe
+      Seq("http://real/")
+  }
+
+  it should "tolerate whitespace around = and attributes before href" in {
+    hrefs("""<a id="z" data-x="1" href = "http://w/">x</a>""") shouldBe Seq("http://w/")
+  }
+
   it should "stay map-side: no Exchange in the extraction plan" in {
     val plan = Seq("<p>x</p>").toDF("h")
       .select(HtmlExtract.htmlToText($"h"), HtmlExtract.htmlTitle($"h"),
