@@ -120,6 +120,108 @@ object AudioHash {
     }
   }
 
+  /** Per-window exact-integer energies over the decoded PCM — the
+    * fingerprint's index-box windows exposed as rows: (doc_id,
+    * window_no, energy = Σ|sample|, n_samples). Map-side decode, no
+    * shuffle; the downstream segmentation groups on doc_id.
+    */
+  def windowEnergies(rows: Dataset[MediaRow], spark: SparkSession,
+      windows: Int = 13, lenient: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(windows >= 1, "windows must be >= 1")
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val samples = pcm16Samples(r.payload)
+          if (samples.length < windows)
+            throw new IllegalArgumentException("fewer samples than windows")
+          (0 until windows).iterator.map { k =>
+            val from = (k.toLong * samples.length / windows).toInt
+            val until = ((k + 1).toLong * samples.length / windows).toInt
+            var s = 0L
+            var i = from
+            while (i < until) { s += math.abs(samples(i).toLong); i += 1 }
+            (r.doc_id, k, s, (until - from).toLong)
+          }
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }.toDF("doc_id", "window_no", "energy", "n_samples")
+  }
+
+  /** Activity segmentation — silence trimming's dual: windows whose
+    * MEAN |sample| exceeds `meanThreshold` (cross-multiplied: energy >
+    * threshold·n_samples, integer-exact at unequal window lengths) are
+    * ACTIVE, and maximal runs of consecutive active windows become
+    * segments (the x36/m17 island construction over window numbers).
+    * Output: (doc_id, seg_no, start_window, end_window, n_windows).
+    * One shuffle on doc_id; window occupancy = the per-clip window
+    * count, a constant.
+    */
+  def activitySegments(energies: DataFrame, meanThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_no"))
+    energies
+      .filter(col("energy") > lit(meanThreshold) * col("n_samples"))
+      .withColumn("island", col("window_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("window_no")).as("start_window"),
+        max(col("window_no")).as("end_window"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("seg_no",
+        (row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("start_window"))) - 1).cast("int"))
+      .select(col("doc_id"), col("seg_no"), col("start_window"),
+        col("end_window"), col("n_windows"))
+  }
+
+  /** Segmentation fixture: 260 samples in 20-sample blocks; block b of
+    * doc `id` is SILENT (all zeros) when (b + id) % 3 == 0, else the
+    * m15 gradient formula — with 13 windows the index boxes align with
+    * the blocks exactly, so the active/silent pattern (and the exact
+    * loud-window energies) replay as integer SQL.
+    */
+  def segmentedPcmWav(audioId: Long): Array[Byte] = {
+    val n = 260
+    val dataLen = n * 2
+    val bytes = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(36 + dataLen); cc("WAVE")
+    cc("fmt "); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(1024); bb.putInt(1024 * 2)
+    bb.putShort(2); bb.putShort(16)
+    cc("data"); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val silent = ((i / 20) + audioId) % 3 == 0
+      bb.putShort(
+        if (silent) 0.toShort
+        else ((audioId * 31 + i.toLong * i * 7) % 251 - 125).toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  /** [[segmentedPcmWav]] per document, every 9th payload truncated for
+    * the lenient drop path.
+    */
+  def syntheticSegmentedWavs(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "audio/wav", {
+          val bytes = segmentedPcmWav(id)
+          if (id % 9 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes
+        })
+      }
+    }
+  }
+
   /** One fixture WAV (RIFF, PCM 16-bit signed mono little-endian). */
   def pcmWav(audioId: Long, delta: Int): Array[Byte] = {
     val n = 260

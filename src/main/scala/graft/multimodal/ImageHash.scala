@@ -154,4 +154,56 @@ object ImageHash {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** The same 9×8 gradient as a HAND-WRITTEN 24bpp BMP (14-byte file
+    * header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows padded to 4
+    * bytes) — no encoder library involved, so the decode path's BMP
+    * branch is exercised against independently constructed bytes. Same
+    * pixel formula as [[gradientPng]]: the two containers must hash
+    * identically (ImageHashSpec locks it) and the m14 oracle replay
+    * carries over verbatim.
+    */
+  def gradientBmp(imgId: Long, delta: Int): Array[Byte] = {
+    val w = 9; val h = 8
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * h
+    val fileSize = 14 + 40 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(fileSize); b.putInt(0); b.putInt(54)
+    b.putInt(40); b.putInt(w); b.putInt(h)
+    b.putShort(1.toShort); b.putShort(24.toShort)
+    b.putInt(0); b.putInt(dataSize)
+    b.putInt(2835); b.putInt(2835); b.putInt(0); b.putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val d = if (x == 0 && y == 0) delta else 0
+        val v = (((imgId * 31 + x.toLong * x * 7 + y.toLong * y * 13) % 251) + d).toInt
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { b.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** BMP twin of [[syntheticGradientPngs]] (every 9th payload truncated
+    * for the lenient drop path).
+    */
+  def syntheticGradientBmps(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "image/bmp", {
+          val bytes = gradientBmp(id, 0)
+          if (id % 9 == 0) java.util.Arrays.copyOf(bytes, 20) else bytes
+        })
+      }
+    }
+  }
 }

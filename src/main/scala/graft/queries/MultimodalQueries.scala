@@ -843,9 +843,73 @@ object MultimodalQueries {
     graft.multimodal.VideoHash.sceneCuts(hashes, threshold = 20)
   }
 
+  /** BMP decode through the SAME hash path as m14 — the fixture bytes
+    * are hand-written 24bpp bottom-up BMP (no encoder library), so the
+    * decoder's second container branch is checked against independently
+    * constructed bytes while the oracle replay (identical pixel
+    * formula) carries over verbatim. Every 9th payload truncated and
+    * dropped whole by lenient decode.
+    */
+  val bmpDhash: Q = Q(
+    "m18_bmp_dhash",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img, 0 AS delta FROM documents
+       |  WHERE doc_id % 9 <> 0)
+       |SELECT doc_id,
+       |  printf('%08x%08x', ${dhashHalfSql("4,5,6,7", "(y-4)")},
+       |                     ${dhashHalfSql("0,1,2,3", "y")}) AS dhash
+       |FROM ids""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.ImageHash
+      .syntheticGradientBmps(t(s, dir, "documents"), s)
+    graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("dhash"))
+  }
+
+  /** Audio activity segmentation (AudioHash.windowEnergies →
+    * activitySegments): real WAV decode → exact-integer window energies
+    * → mean-threshold gate → island merge of consecutive active windows
+    * — silence-trimming's structural dual, sharing m17's run-merge
+    * shape. The fixture's 20-sample silence blocks align with the 13
+    * index-box windows exactly, so the oracle replays both the
+    * active/silent pattern AND every loud window's exact energy sum as
+    * integer SQL; every 9th payload truncated and dropped whole.
+    */
+  val audioSegments: Q = Q(
+    "m19_audio_segments",
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id AS img FROM documents WHERE doc_id % 9 <> 0),
+      |w AS (SELECT doc_id, img, unnest(range(13)) AS wn FROM ids),
+      |e AS (
+      |  SELECT doc_id, CAST(wn AS INT) AS window_no,
+      |    CASE WHEN (wn + doc_id) % 3 = 0 THEN 0
+      |         ELSE CAST(list_sum(list_transform(range(20), j ->
+      |           abs((img*31 + (wn*20+j)*(wn*20+j)*7) % 251 - 125))) AS BIGINT)
+      |    END AS energy
+      |  FROM w),
+      |a AS (SELECT doc_id, window_no FROM e WHERE energy > 10 * 20),
+      |isl AS (
+      |  SELECT doc_id, window_no,
+      |    window_no - row_number() OVER (PARTITION BY doc_id ORDER BY window_no) AS g
+      |  FROM a),
+      |seg AS (
+      |  SELECT doc_id, g, CAST(min(window_no) AS INT) AS start_window,
+      |    CAST(max(window_no) AS INT) AS end_window,
+      |    CAST(count(*) AS BIGINT) AS n_windows
+      |  FROM isl GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window) - 1 AS INT) AS seg_no,
+      |  start_window, end_window, n_windows
+      |FROM seg""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.AudioHash
+      .syntheticSegmentedWavs(t(s, dir, "documents"), s)
+    val energies = graft.multimodal.AudioHash
+      .windowEnergies(rows, s, windows = 13, lenient = true)
+    graft.multimodal.AudioHash.activitySegments(energies, meanThreshold = 10L)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
     incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
-    videoDupPairs, videoAlignedRuns, videoSceneCuts)
+    videoDupPairs, videoAlignedRuns, videoSceneCuts, bmpDhash, audioSegments)
 }

@@ -1767,6 +1767,138 @@ object TextQueries {
       .select(col("doc_id"), col("link_no").cast("int").as("link_no"), col("href"))
   }
 
+  /** Unicode normalization (UnicodeNormalizeExpression — native codegen
+    * expression over java.text.Normalizer; Spark has no builtin): five
+    * fixture variants exercise the canonical/compatibility split —
+    * combining-mark café (NFC composes), precomposed café (already
+    * normal), the ﬁ ligature and fullwidth ＡＢＣ and superscript x²
+    * (NFC-invariant, NFKC folds). The NFC column is cross-validated
+    * against DuckDB's utf8proc `nfc_normalize` — two independent
+    * Unicode implementations must agree byte-for-byte — while NFKC
+    * (absent in DuckDB) is replayed analytically per variant.
+    */
+  val unicodeNormalize: Q = Q(
+    "x51_unicode_normalize",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'cafe' || chr(769) || ' '
+      |      WHEN 1 THEN 'caf' || chr(233) || ' '
+      |      WHEN 2 THEN chr(64257) || 'le '
+      |      WHEN 3 THEN chr(65313) || chr(65314) || chr(65315) || ' '
+      |      ELSE 'x' || chr(178) || ' '
+      |    END || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(t) AS nfc,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'caf' || chr(233) || ' '
+      |    WHEN 1 THEN 'caf' || chr(233) || ' '
+      |    WHEN 2 THEN 'file '
+      |    WHEN 3 THEN 'ABC '
+      |    ELSE 'x2 '
+      |  END || CAST(doc_id AS VARCHAR) AS nfkc,
+      |  (nfc_normalize(t) <> t) AS nfc_changed,
+      |  CAST(length(CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'caf' || chr(233) || ' '
+      |    WHEN 1 THEN 'caf' || chr(233) || ' '
+      |    WHEN 2 THEN 'file '
+      |    WHEN 3 THEN 'ABC '
+      |    ELSE 'x2 '
+      |  END || CAST(doc_id AS VARCHAR)) AS INT) AS nfkc_len
+      |FROM raw""".stripMargin) { (s, dir) =>
+    import graft.text.UnicodeNormalizeExpression
+    // escape sequences, not literal glyphs: a toolchain NFC-normalizing
+    // this source file must not be able to merge variants 0 and 1
+    val raw = when(col("doc_id") % 5 === 0, lit("cafe\u0301 "))
+      .when(col("doc_id") % 5 === 1, lit("caf\u00e9 "))
+      .when(col("doc_id") % 5 === 2, lit("\ufb01le "))
+      .when(col("doc_id") % 5 === 3, lit("\uff21\uff22\uff23 "))
+      .otherwise(lit("x\u00b2 "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(raw, col("doc_id").cast("string")).as("t"))
+      .select(col("doc_id"),
+        UnicodeNormalizeExpression(col("t"), "NFC").as("nfc"),
+        UnicodeNormalizeExpression(col("t"), "NFKC").as("nfkc"),
+        (UnicodeNormalizeExpression(col("t"), "NFC") =!= col("t")).as("nfc_changed"),
+        length(UnicodeNormalizeExpression(col("t"), "NFKC")).cast("int").as("nfkc_len"))
+  }
+
+  /** Per-document n-gram novelty (TextQuality.ngramNovelty): the
+    * fraction of a doc's distinct hashed trigrams with corpus df = 1 —
+    * the near-copy corpus makes it non-trivial (a planted copy's
+    * shingles all carry df ≥ 2, so its novelty collapses toward the two
+    * 'xx'-prefix shingles it alone owns, and it drags its SOURCE doc
+    * down with it). Oracle replays hashed shingles, df, and the
+    * fraction; ratio rounded to 6 dp (exact — small-integer division).
+    */
+  val ngramNovelty: Q = Q(
+    "x52_ngram_novelty",
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (SELECT DISTINCT doc_id, m FROM ($hashedShinglesSql)),
+       |df AS (SELECT m, count(*) AS df FROM sh GROUP BY m)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS novelty_ratio
+       |FROM sh JOIN df USING (m) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.TextQuality.ngramNovelty(corpus(s, dir), n = 3)
+  }
+
+  /** CLUSTER-AWARE train/val/test split — the preventive twin of x11's
+    * leakage detector: the split hash is keyed on the near-dup CLUSTER
+    * canonical (d7's connected components; singletons key on
+    * themselves), so every member of a duplicate family lands in the
+    * SAME split by construction and eval contamination via near-copies
+    * cannot occur. Composition: jaccardPairs → clusters → left join +
+    * coalesce → hashSplit on the canonical. The oracle replays d7's
+    * recursive reachability, the singleton coalesce, and x6's md5
+    * bucket arithmetic over the canonical id.
+    */
+  val clusterSplit: Q = {
+    val maxDf = 50
+    Q(
+      "x53_cluster_split",
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |allsh AS (SELECT DISTINCT doc_id, shingle FROM (${shinglesSql.replace("__CORPUS__", "corpus")})),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM allsh
+         |  WHERE shingle IN (SELECT shingle FROM allsh GROUP BY shingle HAVING count(*) <= $maxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sizes sa ON doc1 = sa.doc_id
+         |  JOIN sizes sb ON doc2 = sb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.r FROM reach r JOIN edges e ON r.doc_id = e.s),
+         |clus AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+         |canon AS (
+         |  SELECT c.doc_id, coalesce(cl.canonical_id, c.doc_id) AS canonical_id
+         |  FROM corpus c LEFT JOIN clus cl ON c.doc_id = cl.doc_id)
+         |SELECT doc_id, canonical_id,
+         |  CASE WHEN ${bucketSql("canonical_id")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("canonical_id")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM canon""".stripMargin) { (s, dir) =>
+      val c = corpus(s, dir)
+      val clusters = Dedup.clusters(
+        Dedup.jaccardPairs(c, minJaccard = 0.5, maxShingleDf = maxDf))
+      val canon = c.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      graft.dedup.Sampling.hashSplit(canon, "canonical_id")
+        .select(col("doc_id"), col("canonical_id"), col("split"))
+    }
+  }
+
   /** Cross-snapshot URL dedup (CrawlSnapshots.latestWins): three
     * fetches per page — ids 3p, 3p+1, 3p+2 carry x41's URL-variant
     * forms over a host keyed on the PAGE (so variants 0–2 canonicalize
@@ -2519,5 +2651,6 @@ object TextQueries {
     heavyHitters, exactDupSpans, exactQuantiles, approxQuantiles, groupedQuantiles,
     phraseSearch, urlCanonical, gopherGates, htmlExtract, htmlLinks,
     prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
-    lrQualityScore, bpePackedShards, tokenBudget, urlSnapshotDedup)
+    lrQualityScore, bpePackedShards, tokenBudget, urlSnapshotDedup,
+    unicodeNormalize, ngramNovelty, clusterSplit)
 }

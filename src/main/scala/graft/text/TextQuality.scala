@@ -265,4 +265,31 @@ object TextQuality {
         size(col("kept")).as("n_kept"),
         md5(concat_ws(" ", col("kept"))).as("clean_md5"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams that occur in NO other document (corpus df = 1) — high
+    * novelty marks genuinely fresh text, low novelty marks template /
+    * boilerplate / near-copy material that exact and near dedup may
+    * have missed, and the score doubles as a memorization-risk audit
+    * (a "new" document whose n-grams all exist elsewhere is a recombination).
+    *
+    * Scale shape: shingles travel as md5 hashes (never raw text); the
+    * per-doc distinct, the df aggregation, and the df join all share
+    * one hash-key partitioning (a single exchange feeds all three),
+    * then one doc-keyed combinable rollup. No windows, no all-pairs.
+    * Documents shorter than n words have no n-grams and are absent.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, n = n)
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
+      .distinct()
+    // sh is distinct per (doc, m), so count per m IS document frequency
+    val df = sh.groupBy(col("m")).agg(count(lit(1)).as("df"))
+    sh.join(df, "m")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty_ratio"))
+  }
 }

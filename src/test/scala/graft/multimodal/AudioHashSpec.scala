@@ -50,4 +50,34 @@ class AudioHashSpec extends SparkSpec {
     // the planted copy is a true near-dup: only window 0 changes
     java.lang.Long.bitCount(got(30L) ^ got(1000030L)) should be <= 1
   }
+
+  "activitySegments" should "merge consecutive active windows into maximal runs" in {
+    // doc 1: active windows 0,1,3,4,5 → segments [0,1] and [3,5];
+    // doc 2: lone active window 2; threshold 10 with 4-sample windows
+    // → active iff energy > 40
+    val energies = Seq(
+      (1L, 0, 100L, 4L), (1L, 1, 90L, 4L), (1L, 2, 0L, 4L),
+      (1L, 3, 50L, 4L), (1L, 4, 41L, 4L), (1L, 5, 200L, 4L),
+      (2L, 0, 40L, 4L), (2L, 1, 0L, 4L), (2L, 2, 44L, 4L))
+      .toDF("doc_id", "window_no", "energy", "n_samples")
+    val segs = AudioHash.activitySegments(energies, meanThreshold = 10L)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    // (2,0): energy 40 is NOT > 10*4 — the gate is strict
+    segs shouldBe Set(
+      (1L, 0, 0, 1, 2L), (1L, 1, 3, 5, 3L),
+      (2L, 0, 2, 2, 1L))
+  }
+
+  it should "segment the planted silence blocks through the real decode" in {
+    // doc 1: blocks (b+1)%3==0 silent → windows 2,5,8,11 silent; active
+    // runs {0,1},{3,4},{6,7},{9,10},{12}; doc 9 truncated → dropped
+    val rows = AudioHash.syntheticSegmentedWavs(Seq(1L, 9L).toDF("doc_id"), spark)
+    val segs = AudioHash.activitySegments(
+      AudioHash.windowEnergies(rows, spark, windows = 13, lenient = true),
+      meanThreshold = 10L)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    segs shouldBe Set(
+      (1L, 0, 0, 1, 2L), (1L, 1, 3, 4, 2L), (1L, 2, 6, 7, 2L),
+      (1L, 3, 9, 10, 2L), (1L, 4, 12, 12, 1L))
+  }
 }

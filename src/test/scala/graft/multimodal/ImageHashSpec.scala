@@ -86,4 +86,23 @@ class ImageHashSpec extends SparkSpec {
     // the planted copy is a true near-dup: at most the (0,0) bit differs
     java.lang.Long.bitCount(got(30L) ^ got(1000030L)) should be <= 1
   }
+
+  "gradientBmp" should "decode to the identical hash as the PNG container" in {
+    // same pixel formula, two containers, one decode→hash path: the
+    // hand-written BMP bytes (no encoder library) must hash exactly as
+    // the ImageIO-encoded PNG for every (id, delta)
+    val docs = Seq(1L, 2L, 30L).toDF("doc_id")
+    val png = ImageHash.dhashDocs(
+      ImageHash.syntheticGradientPngs(docs, spark), spark, lenient = true)
+      .as[(Long, Long)].collect().toMap
+    val bmp = ImageHash.dhashDocs(
+      ImageHash.syntheticGradientBmps(docs, spark), spark, lenient = true)
+      .as[(Long, Long)].collect().toMap
+    bmp shouldBe png
+    // truncated BMP payloads drop whole under lenient decode
+    val dropped = ImageHash.dhashDocs(
+      ImageHash.syntheticGradientBmps(Seq(9L, 10L).toDF("doc_id"), spark),
+      spark, lenient = true).as[(Long, Long)].collect().toMap
+    dropped.keySet shouldBe Set(10L)
+  }
 }

@@ -149,4 +149,28 @@ class TextQualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(plan).size shouldBe 2
   }
+
+  "ngramNovelty" should "score the unseen-trigram fraction and skip short docs" in {
+    val corpus = docs(
+      (1L, "a b c d"),   // trigrams: "a b c" (shared with 2), "b c d"
+      (2L, "a b c x"),   // trigrams: "a b c", "b c x"
+      (3L, "q w e r"),   // both trigrams unique
+      (4L, "a b"))       // < 3 words: no trigrams, absent
+    val got = TextQuality.ngramNovelty(corpus, n = 3)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got shouldBe Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)), 3L -> ((2L, 2L, 1.0)))
+  }
+
+  it should "count a repeated in-doc trigram once (distinct per doc)" in {
+    // "a b c a b c" yields trigrams [a b c, b c a, c a b, a b c] — the
+    // repeat collapses in the per-doc distinct, df still reads 1, and
+    // novelty stays 1.0 (in-doc repetition is x13's concern, not
+    // cross-doc novelty's)
+    val corpus = docs((1L, "a b c a b c"))
+    TextQuality.ngramNovelty(corpus, n = 3)
+      .select("n_shingles", "n_novel").as[(Long, Long)].head() shouldBe ((3L, 3L))
+  }
 }
