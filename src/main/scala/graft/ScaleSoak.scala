@@ -427,6 +427,40 @@ object ScaleSoak {
           "id as src", s"pmod(xxhash64(id, 11), $docs) as dst"))
       graft.graph.Graph.labelPropagation(edges, rounds = 3).count()
     }
+    // round-9 operator growth probes (explicit-only).
+    probed("ngram_novelty") {
+      // ~36N hashed trigrams; the 50-block dup structure gives planted
+      // df>=2 shingles so the df join is never trivially all-novel
+      graft.text.TextQuality.ngramNovelty(corpus).count()
+    }
+    probed("url_latest_wins") {
+      // N fetches over ~N/3 pages in the d22 variant structure (case
+      // host + tracking params + query-less form); content repeats per
+      // fetch pair so changed/unchanged both occur. Group occupancy is
+      // the per-page revisit count (<= 3) at every N.
+      val fetches = spark.range(0, docs, 1, inputParts).selectExpr(
+        "id as fetch_ts",
+        """concat(case when id % 3 = 0 then 'https://S' else 'https://s' end,
+          |  pmod(id div 3, 9973), '.example.com/p/', id div 3,
+          |  case when id % 3 = 1 then '?utm_source=x&a=1'
+          |       when id % 3 = 2 then '?a=1' else '' end) as url""".stripMargin,
+        "concat('c', id div 2) as content")
+      graft.pipelines.CrawlSnapshots.latestWins(fetches).count()
+    }
+    probed("scene_cuts") {
+      // shot segmentation over STORED frame hashes (the decode stage is
+      // codec-bound per the image/audio probes — this isolates the
+      // doc-keyed lag-window + rollup shape): N frame rows = N/10
+      // videos x 10 frames, scene flip at frame 5 (hash base changes),
+      // +frame perturbation within a scene (hamming ~2 vs ~32)
+      val hashes = spark.range(0, docs, 1, inputParts).selectExpr(
+        "id div 10 as doc_id",
+        "cast(id % 10 as int) as frame_no",
+        // XOR, not +: ANSI addition on a near-MAX hash would overflow;
+        // the low-bit XOR keeps within-scene hamming <= 4 (vs ~32 across)
+        "xxhash64(id div 10, case when id % 10 < 5 then 0 else 1 end) ^ (id % 10) as simhash")
+      graft.multimodal.VideoHash.sceneCuts(hashes, threshold = 8).count()
+    }
     // image near-dup end-to-end: deterministic 9×8 hash-pixel PNGs with
     // the standard 50-block planted structure (3 exact copies + 1
     // one-pixel near-dup per block → 6 hamming<=1 pairs/block), encoded
