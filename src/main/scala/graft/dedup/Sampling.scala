@@ -398,4 +398,67 @@ object Sampling {
       .filter(col("cum_before") < budgetPerDomain)
       .select(col(idCol), col(domainCol), col("_t").as("n_tokens"), col("cum_before"))
   }
+
+  /** EPOCH-aware mixture — [[tokenBudgetMixture]] generalized to the
+    * data-constrained regime (Muennighoff et al. 2023: repeat scarce
+    * domains up to a few epochs rather than under-train): when a
+    * domain's token budget exceeds its corpus, emit ⌊budget/avail⌋ FULL
+    * epochs (capped at `maxEpochs`), then fill the remainder with a
+    * partial epoch taken in the stable (md5(id), id) order — the x49
+    * first-crossing semantics per epoch. A domain at the cap gets
+    * exactly maxEpochs full epochs and NO partial (repeating further is
+    * the quality cliff the cap exists for); a domain richer than its
+    * budget degenerates to tokenBudgetMixture at epoch 0.
+    *
+    * Output: (idCol, domainCol, epoch, n_tokens) — one row per (doc,
+    * epoch) kept. Scale shape: the per-domain availability is one
+    * combinable agg broadcast back; full epochs are a map-side explode
+    * (≤ maxEpochs rows per doc); the partial epoch reuses the
+    * funnel-free two-level range construction, never one window
+    * partition per domain.
+    */
+  def epochMixture(df: DataFrame, idCol: String, domainCol: String,
+      tokens: Column, budgetPerDomain: Long, maxEpochs: Int = 4,
+      numRanges: Int = 4096): DataFrame = {
+    require(budgetPerDomain > 0, "budgetPerDomain must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(numRanges > 0 && numRanges <= 65536, "numRanges must be in (0, 65536]")
+    val withKey = df
+      .withColumn("_t", tokens.cast("long"))
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_rng",
+        conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * numRanges / 65536L)
+    // ANSI-safe integer division: a zero-token domain takes no epochs
+    val avail = withKey.groupBy(col(domainCol))
+      .agg(sum(col("_t")).as("_avail"))
+      .withColumn("_fe",
+        when(col("_avail") > 0,
+          least(lit(maxEpochs.toLong), expr(s"$budgetPerDomain div _avail")))
+          .otherwise(lit(0L)))
+      .withColumn("_rem", lit(budgetPerDomain) - col("_fe") * col("_avail"))
+    val joined = withKey.join(broadcast(avail), Seq(domainCol))
+    val full = joined.filter(col("_fe") > 0)
+      .select(col(idCol), col(domainCol), col("_t").as("n_tokens"),
+        explode(sequence(lit(0), (col("_fe") - 1).cast("int"))).as("epoch"))
+      .select(col(idCol), col(domainCol), col("epoch"), col("n_tokens"))
+    // partial epoch _fe: the tokenBudgetMixture construction against the
+    // per-domain remainder (same ordering, same first-crossing rule)
+    val inPartial = joined.filter(col("_fe") < maxEpochs && col("_rem") > 0)
+    val wr = Window.partitionBy(col(domainCol)).orderBy(col("_rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inPartial.groupBy(col(domainCol), col("_rng"))
+      .agg(sum(col("_t")).as("_rtok"))
+      .withColumn("_roff", coalesce(sum(col("_rtok")).over(wr), lit(0L)))
+      .select(col(domainCol), col("_rng"), col("_roff"))
+    val wd = Window.partitionBy(col(domainCol), col("_rng"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = inPartial
+      .join(broadcast(offsets), Seq(domainCol, "_rng"))
+      .withColumn("cum_before", col("_roff") + coalesce(sum(col("_t")).over(wd), lit(0L)))
+      .filter(col("cum_before") < col("_rem"))
+      .select(col(idCol), col(domainCol), col("_fe").cast("int").as("epoch"),
+        col("_t").as("n_tokens"))
+    full.unionByName(partial)
+  }
 }

@@ -28,6 +28,15 @@ object CrawlSnapshots {
     * window and the rollup share that partitioning (no second
     * exchange), and window occupancy is one URL's revisit count —
     * crawl-policy-bounded, never corpus-shaped.
+    *
+    * Measured AQE note (SCALE.md "Round-9 operator growth probes"): the
+    * shuffled rows are ~60-byte (canonical, ts, md5) tuples but
+    * CPU-heavy per row, so at 10M fetches the default 64 MB advisory
+    * coalesced the window stage into a few fat tasks — 3.8× wall, 4.7×
+    * CPU worse than `advisoryPartitionSizeInBytes=8m`. This frame is
+    * LAZY, so the library cannot scope the conf the way the eager graph
+    * rounds do ([[graft.core.AqeHints]]) — set the advisory at your
+    * sink for 10M+ row materializations.
     */
   def latestWins(fetches: DataFrame, urlCol: String = "url",
       tsCol: String = "fetch_ts", contentCol: String = "content"): DataFrame = {

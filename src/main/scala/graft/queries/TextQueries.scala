@@ -2633,6 +2633,45 @@ object TextQueries {
       TextAnalysis.wordCount(col("text")), budgetPerDomain = 600L, numRanges = 64)
   }
 
+  /** Epoch-aware mixture (Sampling.epochMixture — the data-constrained
+    * regime): budget 3000 against per-source availability ~1100–1600 at
+    * sf0.01, maxEpochs 2 — so sources under 1500 tokens hit the 2-epoch
+    * CAP (full repeats, no partial), richer sources take 1 full epoch
+    * plus a partial remainder in x49's stable (md5, id) first-crossing
+    * order. The oracle replays availability, the capped integer epoch
+    * count, the row-per-epoch expansion, and the remainder window (CAST
+    * discipline throughout — DuckDB sums are HUGEINT).
+    */
+  val epochMixture: Q = Q(
+    "x54_epoch_mixture",
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |av AS (SELECT source, sum(n_tokens) AS avail FROM b GROUP BY source),
+      |k AS (SELECT source, avail,
+      |      CAST(least(2, 3000 // avail) AS BIGINT) AS fe FROM av),
+      |f AS (
+      |  SELECT doc_id, source, CAST(e AS INT) AS epoch, n_tokens
+      |  FROM (SELECT doc_id, source, n_tokens, unnest(range(fe)) AS e
+      |        FROM b JOIN k USING (source))),
+      |p AS (
+      |  SELECT doc_id, source, CAST(fe AS INT) AS epoch, n_tokens FROM (
+      |    SELECT b.doc_id, b.source, b.n_tokens, k.fe,
+      |      3000 - k.fe * k.avail AS rem,
+      |      CAST(COALESCE(sum(b.n_tokens) OVER (PARTITION BY b.source
+      |        ORDER BY b.h, b.doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |    FROM b JOIN k USING (source) WHERE k.fe < 2)
+      |  WHERE rem > 0 AND cb < rem)
+      |SELECT * FROM f UNION ALL SELECT * FROM p""".stripMargin) { (s, dir) =>
+    graft.dedup.Sampling.epochMixture(
+      t(s, dir, "documents"), "doc_id", "source",
+      TextAnalysis.wordCount(col("text")), budgetPerDomain = 3000L,
+      maxEpochs = 2, numRanges = 64)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, minhashSignature, minhashLshPairs, simhash, simhashPairs,
     simhashPairsComb, ngramJaccardPairs, containmentPairs, sortedNeighborhood,
@@ -2652,5 +2691,5 @@ object TextQueries {
     phraseSearch, urlCanonical, gopherGates, htmlExtract, htmlLinks,
     prefixJaccard, editDistPairs, corpusDiff, spanRemoval, bpeEncode,
     lrQualityScore, bpePackedShards, tokenBudget, urlSnapshotDedup,
-    unicodeNormalize, ngramNovelty, clusterSplit)
+    unicodeNormalize, ngramNovelty, clusterSplit, epochMixture)
 }

@@ -413,4 +413,46 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     a shouldBe b
   }
+
+  behavior of "epochMixture"
+
+  it should "repeat scarce domains, cap at maxEpochs, and fill the remainder in x49 order" in {
+    // d0: 5 docs x 10 tokens = 50 avail, budget 120 -> 2 full epochs +
+    //   partial epoch 2 taking rem=20 (first-crossing order by md5)
+    // d1: 2 docs x 10 = 20 avail -> fe = min(3, 6) = 3, CAPPED: no partial
+    // d2: 20 docs x 10 = 200 avail > budget -> fe = 0, pure x49 at epoch 0
+    val docs = ((0L until 5L).map(i => (i, "d0", 10L)) ++
+      (10L until 12L).map(i => (i, "d1", 10L)) ++
+      (20L until 40L).map(i => (i, "d2", 10L))).toDF("doc_id", "dom", "nt")
+    val got = Sampling.epochMixture(docs, "doc_id", "dom", col("nt"),
+      budgetPerDomain = 120L, maxEpochs = 3, numRanges = 16)
+      .as[(Long, String, Int, Long)].collect().toSeq
+    // d0: every doc in epochs 0 and 1
+    got.count(r => r._2 == "d0" && r._3 < 2) shouldBe 10
+    // d0 partial epoch 2: 20 remaining tokens -> exactly 2 docs (cum 0, 10)
+    got.count(r => r._2 == "d0" && r._3 == 2) shouldBe 2
+    // d1 capped: all 2 docs exactly 3 times, never epoch 3
+    got.count(_._2 == "d1") shouldBe 6
+    got.filter(_._2 == "d1").map(_._3).max shouldBe 2
+    // d2: epoch 0 only, equals tokenBudgetMixture's kept set
+    val x49 = Sampling.tokenBudgetMixture(docs.filter(col("dom") === "d2"),
+      "doc_id", "dom", col("nt"), 120L, numRanges = 16)
+      .select("doc_id").as[Long].collect().toSet
+    got.filter(_._2 == "d2").map(_._3).toSet shouldBe Set(0)
+    got.filter(_._2 == "d2").map(_._1).toSet shouldBe x49
+    // no (doc, epoch) duplicates anywhere
+    got.size shouldBe got.toSet.size
+  }
+
+  it should "spend close to the budget: full epochs + remainder crossing" in {
+    val docs = (0L until 7L).map(i => (i, "only", 9L)).toDF("doc_id", "dom", "nt")
+    // avail 63, budget 150 -> 2 full epochs (126) + partial of rem 24
+    val got = Sampling.epochMixture(docs, "doc_id", "dom", col("nt"),
+      budgetPerDomain = 150L, maxEpochs = 4, numRanges = 4)
+      .as[(Long, String, Int, Long)].collect().toSeq
+    val spent = got.map(_._4).sum
+    spent should be >= 150L
+    // overshoot bounded by one crossing doc
+    spent should be < (150L + 9L)
+  }
 }
