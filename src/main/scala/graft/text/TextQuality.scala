@@ -280,6 +280,15 @@ object TextQuality {
     * Documents shorter than n words have no n-grams and are absent.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // shape note (round-9 10M A/B, SCALE.md): a single m-keyed
+    // repartition DOES satisfy the distinct + df-agg + join
+    // distributions (3 exchanges instead of 4 in the plan), but it
+    // measured a WASH on wall (352 vs 375 s), identical shuffle bytes
+    // (exchange reuse doesn't fire across the AQE stage boundary), and
+    // 2.5× worse p99 task skew — hash-partitioning on m drops the
+    // map-side partial of the (doc_id, m) distinct and concentrates the
+    // SMJ sort. Refuted and reverted; the distinct's own keying is the
+    // better plan.
     val sh = graft.dedup.Dedup.shingles(docs, n = n)
       .select(col("doc_id"), md5(col("shingle")).as("m"))
       .distinct()
