@@ -116,8 +116,14 @@ object EtlBench {
     val (_, tIndex) = timed(sink(Processing.literatureIndex(matches, spark)))
     val (training, _) = timed(Embedding.trainingSet(matches, spark).persist())
     val (_, tTrainSet) = timed(sink(training))
+    // numPartitions per the measured fit curve (SCALE.md "Isolated fit
+    // curve"): ≈ max(cores, bags / 500k) — the pinned 16 of earlier
+    // rounds loses 1.4× at 30M bags; cap at 128 so the replica-count
+    // accuracy caveat stays bounded. Bags ≈ 3 per doc in this corpus
+    // (per-rank + overall).
+    val w2vParts = math.max(cpus.toLong, math.min(128L, 3L * d / 500000L)).toInt
     val (model, tFit) = timed(Embedding.fit(training,
-      Embedding.W2VConfig(vectorSize = 32, numPartitions = math.min(cpus, 16))))
+      Embedding.W2VConfig(vectorSize = 32, numPartitions = w2vParts)))
     val (_, tEvidence) = timed(sink(
       Evidence.generate(model, matches, coocs, spark, threshold = Some(-2.0))))
     val total = tGround + tIndex + tTrainSet + tFit + tEvidence

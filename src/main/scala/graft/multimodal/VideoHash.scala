@@ -144,6 +144,55 @@ object VideoHash {
         count(lit(1)).as("n_frames"))
   }
 
+  /** Per-shot KEYFRAME hashes: [[sceneCuts]]' shot assignment, keeping
+    * each shot's FIRST frame's hash as its representative (the shot
+    * boundary frame — the standard keyframe choice, and order-agreed
+    * across engines without comparing signed hashes). Output: (doc_id,
+    * shot_no, start_frame, keyhash). Same single doc-keyed shuffle as
+    * sceneCuts; min_by is combinable.
+    */
+  def shotKeyHashes(hashes: DataFrame, threshold: Int = 8): DataFrame = {
+    require(threshold >= 0 && threshold < 64, "threshold is a 64-bit Hamming bound")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hashes.select(col("doc_id"), col("frame_no"), col("simhash"))
+      .withColumn("prev", lag(col("simhash"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull ||
+          bit_count(col("simhash").bitwiseXOR(col("prev"))) > threshold, 1)
+          .otherwise(0))
+      .withColumn("shot_no", (sum(col("cut")).over(run) - 1).cast("int"))
+      .groupBy(col("doc_id"), col("shot_no"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        min_by(col("simhash"), col("frame_no")).as("keyhash"))
+  }
+
+  /** Shot-level video near-dup pairs: videos sharing at least
+    * `minShared` shot KEYFRAMES — the d20 shared-frame discipline
+    * lifted one level of structure: a trimmed re-edit keeps its later
+    * shots' boundary frames and pairs, while frame-level noise inside a
+    * shot is invisible (the keyframe summarizes it). Keyframes occurring
+    * in more than `maxKeyDf` videos are dropped before the self-join
+    * (the black-title-card hot key is evidence of nothing and its
+    * postings are exactly the quadratic bucket).
+    */
+  def sharedShotPairs(hashes: DataFrame, threshold: Int = 8,
+      minShared: Int = 1, maxKeyDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val keys = shotKeyHashes(hashes, threshold)
+      .select(col("doc_id"), col("keyhash")).distinct()
+    val hot = keys.groupBy(col("keyhash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxKeyDf).select(col("keyhash"))
+    val kept = keys.join(broadcast(hot), Seq("keyhash"), "left_anti")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.keyhash") === col("b.keyhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Deterministic gradient-frame AVI fixture: `2 + id % 3` frames of
     * 9×8 gradient PNGs whose pixel (x, y) of frame f is
     * ((imgId·31 + f·17 + x²·7 + y²·13) mod 251) + delta at (0,0) of
@@ -178,10 +227,11 @@ object VideoHash {
     * lenient-decode semantics are m16's concern; this fixture isolates
     * shot segmentation.
     */
-  def sceneAvis(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+  def sceneAvis(documents: DataFrame, spark: SparkSession,
+      planted: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.map { id =>
+      it.flatMap { id =>
         val nFrames = (4 + id % 3).toInt
         val split = (2 + id % 2).toInt
         val twoScene = id % 3 != 0
@@ -206,7 +256,16 @@ object VideoHash {
           javax.imageio.ImageIO.write(img, "png", out)
           out.toByteArray
         }
-        MediaRow(id, "video/avi", buildAvi(frames))
+        val base = MediaRow(id, "video/avi", buildAvi(frames))
+        // planted TRIMMED copy (id + 10⁶, frames 1..n−1) of every 10th
+        // doc: its later shots keep their boundary frames — a two-scene
+        // original shares its scene-2 keyframe with the copy, while a
+        // single-scene one does NOT (the copy's only keyframe is the
+        // original's frame 1, not frame 0) — the discrimination
+        // d23_shot_keyframe_pairs is built on
+        if (planted && id % 10 == 0)
+          Iterator(base, MediaRow(id + 1000000L, "video/avi", buildAvi(frames.drop(1))))
+        else Iterator.single(base)
       }
     }
   }

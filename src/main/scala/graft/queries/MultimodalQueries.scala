@@ -907,9 +907,73 @@ object MultimodalQueries {
     graft.multimodal.AudioHash.activitySegments(energies, meanThreshold = 10L)
   }
 
+  /** Shot-level video dedup (VideoHash.shotKeyHashes →
+    * sharedShotPairs): m17's shot assignment reduced to each shot's
+    * FIRST-frame keyframe, joined across videos — structure-level
+    * near-dup where d20 is frame-level. The planted TRIMMED copy
+    * (frames 1..n−1) keeps its later shots' boundary frames, so
+    * two-scene docs pair with their copies on the scene-2 keyframe
+    * while single-scene docs do NOT (the copy's lone keyframe is
+    * frame 1, the original's frame 0) — a discrimination both engines
+    * must agree on. The oracle replays hashes (content frame f at
+    * POSITION frame_no — the d21 separation), the cut/shot windows,
+    * the rn = 1 keyframe pick, the hot-key cap, and the pair join.
+    */
+  val shotKeyframePairs: Q = Q(
+    "d23_shot_keyframe_pairs",
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id AS img,
+       |    CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS sc,
+       |    2 + doc_id % 2 AS split, 4 + doc_id % 3 AS n
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, img, sc, split, f, CAST(f AS INT) AS frame_no
+       |  FROM (SELECT doc_id, img, sc, split, unnest(range(0, n)) AS f FROM ids)
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, img, sc, split, f, CAST(f - 1 AS INT)
+       |  FROM (SELECT doc_id, img, sc, split, unnest(range(1, n)) AS f FROM ids
+       |        WHERE doc_id % 10 = 0)),
+       |h AS (
+       |  SELECT doc_id, frame_no,
+       |    ${sceneHalfSql("4,5,6,7", "(y-4)")} AS hi,
+       |    ${sceneHalfSql("0,1,2,3", "y")} AS lo
+       |  FROM fr),
+       |d AS (
+       |  SELECT doc_id, frame_no, hi, lo,
+       |    lag(hi) OVER w AS phi, lag(lo) OVER w AS plo
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+       |c AS (
+       |  SELECT doc_id, frame_no, hi, lo,
+       |    CASE WHEN phi IS NULL
+       |           OR bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) > 20
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, frame_no, hi, lo,
+       |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no) AS INT) AS shot_no
+       |  FROM c),
+       |key AS (
+       |  SELECT DISTINCT doc_id, hi, lo FROM (
+       |    SELECT doc_id, hi, lo,
+       |      row_number() OVER (PARTITION BY doc_id, shot_no ORDER BY frame_no) AS rn
+       |    FROM s) WHERE rn = 1),
+       |hot AS (SELECT hi, lo FROM key GROUP BY hi, lo HAVING count(*) > 1000),
+       |k AS (SELECT * FROM key ANTI JOIN hot USING (hi, lo))
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS shared
+       |FROM k a JOIN k b
+       |  ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.VideoHash
+      .sceneAvis(t(s, dir, "documents"), s, planted = true)
+    val hashes = graft.multimodal.VideoHash.frameHashes(rows, s)
+    graft.multimodal.VideoHash.sharedShotPairs(hashes, threshold = 20,
+      minShared = 1)
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
     incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
-    videoDupPairs, videoAlignedRuns, videoSceneCuts, bmpDhash, audioSegments)
+    videoDupPairs, videoAlignedRuns, videoSceneCuts, bmpDhash, audioSegments,
+    shotKeyframePairs)
 }

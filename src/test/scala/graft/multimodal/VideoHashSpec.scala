@@ -113,6 +113,45 @@ class VideoHashSpec extends SparkSpec {
       (2L, 0, 0, 0, 1L))
   }
 
+  "shotKeyHashes / sharedShotPairs" should "pick first-frame keyframes and pair on shared shots" in {
+    // doc 1: shots {0,1} and {2} (9-bit jump at frame 2) → keyframes
+    // hash(0)=0x0 and hash(2)=0x1FE; doc 2 shares the second shot's
+    // keyframe; doc 3 shares nothing
+    val hashes = Seq(
+      (1L, 0, 0x0L), (1L, 1, 0x1L), (1L, 2, 0x1FEL),
+      (2L, 0, 0x1FEL),
+      (3L, 0, 0xF0F0L)).toDF("doc_id", "frame_no", "simhash")
+    val keys = VideoHash.shotKeyHashes(hashes, threshold = 8)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    keys shouldBe Set((1L, 0, 0, 0x0L), (1L, 1, 2, 0x1FEL),
+      (2L, 0, 0, 0x1FEL), (3L, 0, 0, 0xF0F0L))
+    val pairs = VideoHash.sharedShotPairs(hashes, threshold = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L, 1L))
+  }
+
+  it should "pair trimmed copies of two-scene docs but not single-scene ones, through the real decode" in {
+    // id 70 (70%3=1, two-scene, cross-scene hamming 31 > 20 — picked by
+    // replaying the fixture: doc 10's boundary reads EXACTLY 20 and the
+    // strict gate keeps it one shot, a rule both engines share): the
+    // trimmed copy keeps scene 2's boundary frame → shared = 1;
+    // id 30 (30%3=0, single-scene, hammings ≤ 20): the copy's lone
+    // keyframe is frame 1, the original's frame 0 → no pair
+    val rows = VideoHash.sceneAvis(Seq(70L, 30L).toDF("doc_id"), spark, planted = true)
+    val pairs = VideoHash.sharedShotPairs(
+      VideoHash.frameHashes(rows, spark), threshold = 20, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // the two-scene original pairs with its trimmed copy on exactly the
+    // scene-2 keyframe...
+    pairs should contain((70L, 1000070L, 1L))
+    // ...while the single-scene original does NOT pair with its copy
+    // (keyframe frame 1 vs frame 0). Cross-doc pairs like (30, 1000070)
+    // are fixture hash-class collisions (251-value space, the d16
+    // note), not copy detection — only the self-copy relation is the
+    // claim here.
+    pairs.filter(p => p._1 == 30L && p._2 == 1000030L) shouldBe empty
+  }
+
   it should "segment the scene fixture at the planted orientation swap through the real decode" in {
     // id 1: 4+1%3=5 frames, two-scene (1%3≠0), split at 2+1%2=3 →
     // shots {0..2}, {3..4}; id 3 (3%3=0, 4 frames) stays single-scene
