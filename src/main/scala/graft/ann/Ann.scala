@@ -313,10 +313,20 @@ object Ann {
     */
   def binaryRerankKnn(embeddings: DataFrame, queries: DataFrame, k: Int,
       coarseK: Int = 32, dim: Int = 64): DataFrame = {
+    // a vector wider than dim would sign only its first dim components
+    // and silently degrade coarse recall (unlike int8RerankKnn, which
+    // covers the full vector); a narrower one would read element_at
+    // nulls as unset bits — both are caller errors, so fail the job
+    // loudly instead (checked per row, codegen'd, no extra pass)
+    def checkedSig(e: Column): Column =
+      when(size(e) === dim, binarySig(e, dim))
+        .otherwise(raise_error(concat(
+          lit(s"binaryRerankKnn: embedding length "), size(e).cast("string"),
+          lit(s" != dim $dim — sign bits would cover only the first $dim components"))))
     val cand = embeddings.select(col("vec_id").as("neighbor_id"),
-      binarySig(toD(col("embedding")), dim).as("nsig"))
+      checkedSig(toD(col("embedding"))).as("nsig"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      binarySig(toD(col("embedding")), dim).as("qsig")))
+      checkedSig(toD(col("embedding"))).as("qsig")))
     // ranking key: hamming ASC with id-ascending ties = TopKAgg's
     // (score DESC, id ASC) on the negated distance
     val coarse = cand.crossJoin(q)

@@ -19,11 +19,25 @@ import org.apache.spark.sql.SparkSession
   * on the same session executing inside `body`'s window sees it too —
   * harmless for plan choice (coalescing granularity only, never
   * results), and the library's drivers (Verify/Bench/soaks) run
-  * queries sequentially.
+  * queries sequentially. Concurrent WRAPPERS on one session are safe:
+  * a per-session reference count makes the first entry save the
+  * caller's value and the last exit restore it (a naive set/restore
+  * pair would let two overlapping loops clobber each other's restore
+  * and leave the advisory permanently altered). Overlapping wrappers
+  * requesting DIFFERENT advisory values share the first one's — the
+  * remedy is a granularity hint, not a correctness setting.
   */
 object AqeHints {
 
   private val AdvisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+  /** Per-session nesting depth + the conf value saved by the OUTERMOST
+    * wrapper (restored only when the count returns to zero). Keyed by
+    * session identity; entries are removed on last exit so a session's
+    * lifetime is not extended by this map.
+    */
+  private val active =
+    new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
 
   /** Run `body` (an eager loop — the frames it materializes must
     * execute inside it, e.g. via localCheckpoint(true) or count) with
@@ -36,12 +50,27 @@ object AqeHints {
     val value = sys.env.getOrElse("GRAFT_TINY_ROW_ADVISORY", bytes)
     if (value == "off") body
     else {
-      val prev = spark.conf.getOption(AdvisoryKey)
-      spark.conf.set(AdvisoryKey, value)
+      active.synchronized {
+        active.get(spark) match {
+          case null =>
+            val prev = spark.conf.getOption(AdvisoryKey)
+            spark.conf.set(AdvisoryKey, value)
+            active.put(spark, (1, prev))
+          case (n, prev) =>
+            active.put(spark, (n + 1, prev)) // inner wrapper: no re-save
+        }
+      }
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(AdvisoryKey, v)
-        case None    => spark.conf.unset(AdvisoryKey)
+      finally active.synchronized {
+        active.get(spark) match {
+          case (1, prev) =>
+            active.remove(spark)
+            prev match {
+              case Some(v) => spark.conf.set(AdvisoryKey, v)
+              case None    => spark.conf.unset(AdvisoryKey)
+            }
+          case (n, prev) => active.put(spark, (n - 1, prev))
+        }
       }
     }
   }

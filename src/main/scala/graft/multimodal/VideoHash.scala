@@ -126,7 +126,15 @@ object VideoHash {
     * video's frame count (bounded by clip length), never corpus-shaped;
     * everything downstream of the lag is codegen'd integer arithmetic.
     */
-  def sceneCuts(hashes: DataFrame, threshold: Int = 8): DataFrame = {
+  /** The ONE shot-assignment rule both rollups derive from (a cut rule
+    * living in two places would silently desync sceneCuts from
+    * shotKeyHashes and the m17/d23 oracles that replay it): a CUT lands
+    * wherever consecutive frame hashes differ by more than `threshold`
+    * Hamming bits, and the running cut count names the shot. Returns
+    * (doc_id, frame_no, simhash, shot_no). Both windows share one
+    * doc-keyed partitioning — a single shuffle.
+    */
+  private def shotAssignments(hashes: DataFrame, threshold: Int): DataFrame = {
     require(threshold >= 0 && threshold < 64, "threshold is a 64-bit Hamming bound")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
@@ -138,11 +146,15 @@ object VideoHash {
           bit_count(col("simhash").bitwiseXOR(col("prev"))) > threshold, 1)
           .otherwise(0))
       .withColumn("shot_no", (sum(col("cut")).over(run) - 1).cast("int"))
+      .select(col("doc_id"), col("frame_no"), col("simhash"), col("shot_no"))
+  }
+
+  def sceneCuts(hashes: DataFrame, threshold: Int = 8): DataFrame =
+    shotAssignments(hashes, threshold)
       .groupBy(col("doc_id"), col("shot_no"))
       .agg(min(col("frame_no")).as("start_frame"),
         max(col("frame_no")).as("end_frame"),
         count(lit(1)).as("n_frames"))
-  }
 
   /** Per-shot KEYFRAME hashes: [[sceneCuts]]' shot assignment, keeping
     * each shot's FIRST frame's hash as its representative (the shot
@@ -151,22 +163,11 @@ object VideoHash {
     * shot_no, start_frame, keyhash). Same single doc-keyed shuffle as
     * sceneCuts; min_by is combinable.
     */
-  def shotKeyHashes(hashes: DataFrame, threshold: Int = 8): DataFrame = {
-    require(threshold >= 0 && threshold < 64, "threshold is a 64-bit Hamming bound")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hashes.select(col("doc_id"), col("frame_no"), col("simhash"))
-      .withColumn("prev", lag(col("simhash"), 1).over(w))
-      .withColumn("cut",
-        when(col("prev").isNull ||
-          bit_count(col("simhash").bitwiseXOR(col("prev"))) > threshold, 1)
-          .otherwise(0))
-      .withColumn("shot_no", (sum(col("cut")).over(run) - 1).cast("int"))
+  def shotKeyHashes(hashes: DataFrame, threshold: Int = 8): DataFrame =
+    shotAssignments(hashes, threshold)
       .groupBy(col("doc_id"), col("shot_no"))
       .agg(min(col("frame_no")).as("start_frame"),
         min_by(col("simhash"), col("frame_no")).as("keyhash"))
-  }
 
   /** Shot-level video near-dup pairs: videos sharing at least
     * `minShared` shot KEYFRAMES — the d20 shared-frame discipline

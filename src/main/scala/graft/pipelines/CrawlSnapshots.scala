@@ -34,20 +34,27 @@ object CrawlSnapshots {
     * CPU-heavy per row, so at 10M fetches the default 64 MB advisory
     * coalesced the window stage into a few fat tasks — 3.8× wall, 4.7×
     * CPU worse than `advisoryPartitionSizeInBytes=8m`. This frame is
-    * LAZY, so the library cannot scope the conf the way the eager graph
-    * rounds do ([[graft.core.AqeHints]]) — set the advisory at your
-    * sink for 10M+ row materializations.
+    * LAZY, so the library cannot scope that conf the way the eager
+    * graph rounds do ([[graft.core.AqeHints]]); instead the window's
+    * exchange is declared with an EXPLICIT partition count
+    * (`repartition(n, canonical_url)` — a REPARTITION_BY_NUM shuffle,
+    * which AQE's coalescing rule leaves alone by contract), sized from
+    * the session's `spark.sql.shuffle.partitions`. Same single
+    * exchange, shared by the window and the rollup; no caller conf, no
+    * eager materialization (measured at 10M in SCALE.md round-10).
     */
   def latestWins(fetches: DataFrame, urlCol: String = "url",
       tsCol: String = "fetch_ts", contentCol: String = "content"): DataFrame = {
     val w = Window.partitionBy(col("canonical_url"))
       .orderBy(col("ts").desc, col("h"))
+    val parts = fetches.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     fetches
       .select(
         graft.text.UrlOps.canonicalizeUrl(col(urlCol)).as("canonical_url"),
         col(tsCol).cast("long").as("ts"),
         md5(col(contentCol)).as("h"))
       .filter(col("canonical_url").isNotNull)
+      .repartition(parts, col("canonical_url"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("canonical_url"))
       .agg(

@@ -93,9 +93,14 @@ object HtmlExtract {
     * signals and the next fetch round). Same posture as the rest of the
     * chain: one codegen'd regexp_extract_all, double- or single-quoted
     * attribute values, whitespace tolerated around `=`, no tree parse.
-    * Unquoted hrefs (pre-HTML4 relic) are a declared non-goal.
+    * The attribute name must follow a whitespace/quote delimiter, so
+    * `data-href="X" href="Y"` extracts Y, not X (`\b` alone matches
+    * after `-` or `:`). Declared non-goals: unquoted hrefs (pre-HTML4
+    * relic) and anchors inside comments/`<script>` bodies — a regex
+    * pass cannot see tree context, and a frontier fetch of a
+    * commented-out link is wasted-but-harmless.
     */
   def links(html: Column): Column =
     regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
+      lit("(?is)<a\\b[^>]*[\\s\"']href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
 }

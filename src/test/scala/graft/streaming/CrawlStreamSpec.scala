@@ -36,8 +36,12 @@ class CrawlStreamSpec extends SparkSpec {
       CrawlFetch("u1", 30L, hB), CrawlFetch("u1", 15L, hA),
       CrawlFetch("u2", 5L, hA)))
     q.processAllAvailable()
-    // batch 3: tie that WINS on hash order (hA < hC at u2's ts 5...
-    // state is now (5, hA) from batch 2 — send ts 5 hC: stale)
+    // batch 3: cross-batch tie that LOSES on hash order — state is
+    // (5, hA) from batch 2, and a ts-5 hC fetch loses the tie (hC > hA)
+    input.addData(Seq(CrawlFetch("u2", 5L, hC)))
+    q.processAllAvailable()
+    // batch 4: strictly newer ts beats the standing fetch regardless of
+    // hash order (hC > hA but ts 6 > 5): changed
     input.addData(Seq(CrawlFetch("u2", 6L, hC)))
     q.processAllAvailable()
     q.stop()
@@ -50,6 +54,7 @@ class CrawlStreamSpec extends SparkSpec {
       ("u2", 5L, "new"),
       ("u1", 30L, "unchanged"), ("u1", 15L, "stale"),
       ("u2", 5L, "changed"),   // same tick, hA < hC: wins and differs
+      ("u2", 5L, "stale"),     // batch 3: same tick, hC > hA: loses
       ("u2", 6L, "changed"))
   }
 
