@@ -39,6 +39,12 @@ final case class FrameFeatures(doc_id: Long, frame_no: Int, width: Int,
 final case class Mp4Meta(doc_id: Long, duration_ms: Long, timescale: Int,
     n_tracks: Int, width: Int, height: Int, codec: String)
 
+/** One sync sample (keyframe) of an mp4 video track: 0-based sample
+  * number plus its decode timestamp in milliseconds of media time.
+  */
+final case class Mp4Keyframe(doc_id: Long, sample_no: Int, ts_ms: Long,
+    codec: String)
+
 final case class PngMeta(doc_id: Long, width: Int, height: Int,
     bit_depth: Int, color_type: Int, interlace: Int, n_chunks: Int,
     idat_bytes: Long, text_meta: String)
@@ -729,6 +735,103 @@ object Media {
     }
   }
 
+  /** KEYFRAME INDEX for inter-frame codecs — the honest-stub narrowing:
+    * H.264/HEVC/VP9/AV1 sample BYTES stay undecodable without an
+    * external codec ([[StubDecoder]]), but WHERE the keyframes sit is
+    * pure container metadata — the `stss` sync-sample table (ISO/IEC
+    * 14496-12 §8.6.2: 1-based numbers of the samples that can be
+    * decoded without prior samples) joined with the `stts`
+    * decoding-time-to-sample runs (§8.6.1.2: (sample_count,
+    * sample_delta) run-lengths whose prefix sum is each sample's decode
+    * timestamp) and the track's `mdhd` media timescale. That index is
+    * what governance needs from an undecodable video: where a seek can
+    * land, shot-boundary candidates, keyframe density. A track with NO
+    * `stss` is all-sync by spec (every sample is a keyframe — the
+    * all-intra case) and is emitted as such. Malformed tables
+    * (non-ascending or out-of-range stss entries, empty stts) THROW;
+    * `lenient` extraction drops the container whole.
+    *
+    * Returns the stsd codec fourcc plus (0-based sample number,
+    * decode timestamp in ms of media time) per sync sample. ts_ms
+    * rounds down in long arithmetic; the fixture keeps it exact so the
+    * m20 oracle replays it as SQL integers.
+    */
+  private[multimodal] def parseMp4Keyframes(payload: Array[Byte]): (String, Vector[(Int, Long)]) = {
+    val bmff = new BmffWalker(payload)
+    val (moovStart, moovEnd) = bmff.moovRange()
+    val moov = bmff.boxes(moovStart, moovEnd)
+    val traks = moov.filter(_._1 == "trak")
+    if (traks.isEmpty) bmff.bad("no trak")
+    val (tb, te) = traks
+      .find { case (_, b, e) => val (w, h) = bmff.trakDims(b, e); w > 0 && h > 0 }
+      .map { case (_, b, e) => (b, e) }.getOrElse(bmff.bad("no video trak"))
+    // mdhd media timescale: v0 at body+12, v1 at body+20 (64-bit times)
+    val (mb, _) = bmff.firstPath(tb, te, List("mdia"))
+      .flatMap { case (b, e) => bmff.boxes(b, e).find(_._1 == "mdhd") }
+      .map { case (_, b, e) => (b, e) }.getOrElse(bmff.bad("no mdhd"))
+    val timescale =
+      if (bmff.version(mb) == 1) bmff.u32(mb + 20) else bmff.u32(mb + 12)
+    if (timescale <= 0) bmff.bad("zero mdhd timescale")
+    val (sb, se) = bmff.firstPath(tb, te, List("mdia", "minf", "stbl"))
+      .getOrElse(bmff.bad("no stbl"))
+    val stbl = bmff.boxes(sb, se)
+    val codec = bmff.stsdCodec(sb, se)
+    // stts: per-sample decode deltas as run-lengths; the run prefix sum
+    // is every sample's decode time, and the count sum the sample count
+    val (db, _) = stbl.find(_._1 == "stts")
+      .map { case (_, b, e) => (b, e) }.getOrElse(bmff.bad("no stts"))
+    val nRuns = bmff.u32(db + 4).toInt
+    if (nRuns <= 0) bmff.bad("empty stts")
+    val runs = Vector.tabulate(nRuns)(i =>
+      (bmff.u32(db + 8 + 8 * i).toInt, bmff.u32(db + 12 + 8 * i)))
+    val nSamples = runs.map(_._1.toLong).sum
+    if (nSamples <= 0 || nSamples > Int.MaxValue) bmff.bad("bad stts sample count")
+    // decode time of 0-based sample i without materializing all samples:
+    // walk the runs (keyframes are sparse; runs are few)
+    def decodeTime(i: Long): Long = {
+      var rest = i
+      var dt = 0L
+      var r = 0
+      while (r < runs.size && rest > runs(r)._1) {
+        dt += runs(r)._1 * runs(r)._2; rest -= runs(r)._1; r += 1
+      }
+      if (r >= runs.size) bmff.bad(s"stts covers no sample $i")
+      dt + rest * runs(r)._2
+    }
+    val syncSamples: Vector[Long] = stbl.find(_._1 == "stss") match {
+      case Some((_, b, _)) =>
+        val n = bmff.u32(b + 4).toInt
+        if (n <= 0) bmff.bad("empty stss")
+        val nums = Vector.tabulate(n)(i => bmff.u32(b + 8 + 4 * i))
+        nums.foldLeft(0L) { (prev, s) =>
+          if (s <= prev || s > nSamples) bmff.bad(s"stss sample $s out of order/range")
+          s
+        }
+        nums.map(_ - 1) // to 0-based
+      case None => Vector.range(0L, nSamples) // no stss: all-sync by spec
+    }
+    (codec, syncSamples.map(s => (s.toInt, decodeTime(s) * 1000L / timescale)))
+  }
+
+  /** Keyframe-index extraction over binary mp4 payloads — one box walk
+    * per payload per partition, map-side only (the m8 batch shape).
+    * `lenient` drops malformed containers.
+    */
+  def extractMp4Keyframes(rows: Dataset[MediaRow], spark: SparkSession,
+      lenient: Boolean = false): Dataset[Mp4Keyframe] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val (codec, keys) = parseMp4Keyframes(r.payload)
+          keys.iterator.map { case (s, ts) => Mp4Keyframe(r.doc_id, s, ts, codec) }
+        } catch {
+          case _: Exception if lenient => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Deterministic REAL mp4 (ISO-BMFF) payloads derived purely from doc
     * ids: a structurally honest `ftyp` + `moov`(`mvhd` + n×`trak`) tree
     * with correct box sizes. Movie timescale is `600·(1 + id % 3)`,
@@ -896,6 +999,79 @@ object Media {
         val bytes = out.toByteArray
         MediaRow(id, "video/mp4",
           if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
+      }
+    }
+  }
+
+  /** Deterministic mp4s with REAL `stts` + `stss` timing/sync tables
+    * over an INTER-FRAME codec track (fourcc cycling avc1/hvc1/vp09/av01
+    * by `id % 4` — the codecs whose sample bytes need an external
+    * decoder, exactly where a keyframe index matters): one video trak
+    * (tkhd dims 16×16, mdhd timescale 600) carrying `4 + id % 6` samples
+    * timed by a two-run stts — the first 3 samples last 600 units (1 s),
+    * the rest 300 (500 ms) — so sample s decodes at
+    * `1000·s` ms for s ≤ 3 and `3000 + 500·(s−3)` ms after, exact in
+    * integer SQL. Sync samples are every `2 + id % 3`rd starting at
+    * sample 0 (stss is 1-based on the wire); ids ≡ 0 mod 5 OMIT stss —
+    * the all-intra form the spec defines as every-sample-sync — and
+    * every 11th payload truncates to 8 bytes for the `lenient` drop
+    * path. No mdat/stsz/stco: a keyframe INDEX is pure moov metadata,
+    * which is the point.
+    */
+  def syntheticSyncMp4s(documents: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nSamples = (4 + id % 6).toInt
+        val stride = (2 + id % 3).toInt
+        val codec = Seq("avc1", "hvc1", "vp09", "av01")((id % 4).toInt)
+        def box(typ: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          val d = new java.io.DataOutputStream(b)
+          d.writeInt(8 + body.length); d.write(typ.getBytes("US-ASCII")); d.write(body)
+          b.toByteArray
+        }
+        def fullBox(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+          box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ body)
+        def be32(x: Long): Array[Byte] =
+          Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+            ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+
+        val timescale = 600L
+        val duration = 3 * 600L + (nSamples - 3) * 300L
+        val mvhd = fullBox("mvhd", 0,
+          be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+            be32(0x00010000) ++ Array.fill[Byte](2 + 10 + 36 + 24)(0) ++ be32(2L))
+        val tkhd = fullBox("tkhd", 0,
+          be32(0) ++ be32(0) ++ be32(1L) ++ be32(0) ++ be32(duration) ++
+            Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+            be32(16L << 16) ++ be32(16L << 16))
+        val mdhd = fullBox("mdhd", 0,
+          be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+            Array[Byte](0, 0, 0, 0))
+        val stsd = fullBox("stsd", 0,
+          be32(1) ++ box(codec, Array.fill[Byte](8)(0)))
+        val stts = fullBox("stts", 0,
+          be32(2L) ++ be32(3L) ++ be32(600L) ++
+            be32(nSamples - 3L) ++ be32(300L))
+        val syncs = Vector.range(0, nSamples, stride).map(_ + 1L) // 1-based
+        val stssOpt =
+          if (id % 5 == 0) Array.empty[Byte] // all-intra: no stss at all
+          else fullBox("stss", 0,
+            be32(syncs.size.toLong) ++
+              syncs.map(be32).foldLeft(Array.empty[Byte])(_ ++ _))
+        val stbl = box("stbl", stsd ++ stts ++ stssOpt)
+        val mdia = box("mdia", mdhd ++ box("minf", stbl))
+        val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+
+        val out = new java.io.ByteArrayOutputStream()
+        val bb = new java.io.DataOutputStream(out)
+        def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+        bb.writeInt(20); cc("ftyp"); cc("isom"); bb.writeInt(0x200); cc("isom")
+        bb.write(moov)
+        val bytes = out.toByteArray
+        MediaRow(id, "video/mp4",
+          if (id % 11 == 0) java.util.Arrays.copyOf(bytes, 8) else bytes)
       }
     }
   }

@@ -970,10 +970,42 @@ object MultimodalQueries {
       minShared = 1)
   }
 
+  /** KEYFRAME INDEX for inter-frame codecs inside the driver-checked
+    * surface — the honest-stub narrowing for H.264/HEVC/VP9/AV1, whose
+    * sample BYTES need an external decoder but whose keyframe POSITIONS
+    * are pure `moov` metadata: deterministic mp4s with real `stts`
+    * timing runs and `stss` sync tables (Media.syntheticSyncMp4s —
+    * two-run stts so sample s decodes at 1000·s ms for s ≤ 3 and
+    * 3000 + 500·(s−3) ms after; sync every `2 + id % 3`rd sample, and
+    * ids ≡ 0 mod 5 omit stss entirely, the all-intra every-sample-sync
+    * form), every 11th payload truncated/corrupt, parsed per-partition
+    * by the pure-JDK box walker in `lenient` mode (the oracle's
+    * `doc_id % 11 <> 0` asserts exactly that drop set). Sample numbers
+    * and decode timestamps replay as SQL integer arithmetic via
+    * generate_series with the per-doc sync stride as its step — a
+    * misread stts run or an off-by-one in the 1-based stss numbering
+    * shifts every timestamp and hash-fails.
+    */
+  val mp4Keyframes: Q = Q(
+    "m20_mp4_keyframes",
+    """SELECT doc_id,
+      |  CAST(s AS INT) AS sample_no,
+      |  CAST(CASE WHEN s <= 3 THEN 1000 * s
+      |            ELSE 3000 + 500 * (s - 3) END AS BIGINT) AS ts_ms,
+      |  CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+      |       WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec
+      |FROM documents,
+      |  unnest(range(0, 4 + doc_id % 6,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 + doc_id % 3 END)) AS t(s)
+      |WHERE doc_id % 11 <> 0""".stripMargin) { (s, dir) =>
+    val rows = graft.multimodal.Media.syntheticSyncMp4s(t(s, dir, "documents"), s)
+    graft.multimodal.Media.extractMp4Keyframes(rows, s, lenient = true).toDF()
+  }
+
   val all: Seq[Q] = Seq(blobMeta, blobChunks, resizePlan, decodeFeatures,
     audioFeatures, videoFeatures, frameFeatures, mp4Meta, mp4Frames, mkvMeta,
     mkvFrames, pngMeta, warcRecords, imageDhash, dhashPairs, dhashClusters,
     incrementalDhash, audioFingerprint, audioFpPairs, videoFrameHashes,
     videoDupPairs, videoAlignedRuns, videoSceneCuts, bmpDhash, audioSegments,
-    shotKeyframePairs)
+    shotKeyframePairs, mp4Keyframes)
 }

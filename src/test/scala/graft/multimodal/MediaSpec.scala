@@ -475,6 +475,40 @@ class MediaSpec extends SparkSpec {
       Media.parsePngMeta(png.dropRight(12))
   }
 
+  "parseMp4Keyframes" should
+      "read stss/stts sync positions and treat a missing stss as all-sync" in {
+    val rows = Media.syntheticSyncMp4s(
+      Seq(1L, 5L, 7L, 11L).toDF("doc_id"), spark).collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    // id 1: 5 samples, sync stride 3 → samples 0 and 3; ts 0 and 3000 ms
+    Media.parseMp4Keyframes(rows(1L)) shouldBe
+      (("hvc1", Vector((0, 0L), (3, 3000L))))
+    // id 7: 5 samples, stride 3 → 0, 3; first 3 samples last 1000 ms each
+    Media.parseMp4Keyframes(rows(7L)) shouldBe
+      (("av01", Vector((0, 0L), (3, 3000L))))
+    // id 5: no stss → every one of its 9 samples is a keyframe, and
+    // timestamps follow the two-run stts (1000 ms × 3, then 500 ms)
+    val (c5, k5) = Media.parseMp4Keyframes(rows(5L))
+    c5 shouldBe "hvc1"
+    k5 shouldBe Vector.tabulate(9)(s =>
+      (s, if (s <= 3) 1000L * s else 3000L + 500L * (s - 3)))
+    // id 11: truncated payload throws (lenient extraction drops it)
+    an[IllegalArgumentException] should be thrownBy
+      Media.parseMp4Keyframes(rows(11L))
+    // malformed stss (out-of-order entries) throws: flip the stored
+    // order of id 1's two sync entries (1, 4) → (4, 1) in place
+    val bad = rows(1L).clone()
+    val idx = {
+      // 'stss' fourcc; body = idx+4, entry_count = idx+8, entries from idx+12
+      val pat = "stss".getBytes("US-ASCII")
+      (0 until bad.length - 4).find(i => pat.indices.forall(j => bad(i + j) == pat(j))).get
+    }
+    val entry0 = bad.slice(idx + 12, idx + 16)
+    System.arraycopy(bad, idx + 16, bad, idx + 12, 4)
+    System.arraycopy(entry0, 0, bad, idx + 16, 4)
+    an[IllegalArgumentException] should be thrownBy Media.parseMp4Keyframes(bad)
+  }
+
   "sampleFrames" should "emit deterministic stride-sampled frame hashes" in {
     val frames = Media.sampleFrames(Media.payloads(docs)).cache()
     // every doc yields >= 1 frame; frame numbering starts at 0
