@@ -218,4 +218,65 @@ object Io {
 
   def writeAll(outputs: Map[String, (DataFrame, WriteSpec)]): Unit =
     outputs.foreach { case (_, (df, spec)) => write(df, spec) }
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_fanout.json")
+
+  /** Crash-detectable fan-out (the S8 shape): Spark commits each DATASET
+    * atomically (its committer stages task output and publishes
+    * `_SUCCESS`), but a multi-dataset fan-out that dies between datasets
+    * leaves a torn output root that LOOKS complete per directory — every
+    * surviving dataset has its own `_SUCCESS`. This variant writes a
+    * run-level manifest (`_graft_fanout.json` under `manifestDir`,
+    * listing every dataset name → path) strictly AFTER the last dataset
+    * commits, and deletes any stale manifest strictly BEFORE the first
+    * write starts — so the manifest's presence is equivalent to "all
+    * datasets of the LATEST run committed". Recovery contract: a missing
+    * manifest means torn — re-run the same fan-out with `mode=overwrite`
+    * specs (idempotent; each dataset republishes) and the manifest
+    * reappears. No directory renames, so it works on object stores where
+    * rename is a copy.
+    */
+  def writeAllAtomic(outputs: Map[String, (DataFrame, WriteSpec)],
+      manifestDir: String): Unit = {
+    require(outputs.nonEmpty, "writeAllAtomic needs at least one dataset")
+    val spark = outputs.head._2._1.sparkSession
+    val p = manifestPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false) // stale manifest must not vouch for this run
+    outputs.foreach { case (_, (df, spec)) => write(df, spec) }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val ds = root.putObject("datasets")
+    outputs.foreach { case (name, (_, spec)) => ds.put(name, spec.path) }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The completed fan-out's dataset name → path map, or None when the
+    * last [[writeAllAtomic]] run under `manifestDir` was torn (died
+    * between dataset writes) or never ran.
+    */
+  def fanOutManifest(spark: SparkSession, manifestDir: String): Option[Map[String, String]] = {
+    val p = manifestPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val it = root.get("datasets").fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      Some(b.result())
+    }
+  }
 }
