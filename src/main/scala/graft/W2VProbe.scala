@@ -59,16 +59,77 @@ object W2VProbe {
     val vocab = training.selectExpr("explode(terms) as term")
       .selectExpr("count(distinct term) as v").head().getLong(0)
 
+    var firstModel: Option[org.apache.spark.ml.feature.Word2VecModel] = None
+    var lastModel: Option[org.apache.spark.ml.feature.Word2VecModel] = None
     val timings = parts.map { p =>
       val t0 = System.nanoTime()
       // vectorSize 32 matches EtlBench so the curves are comparable
-      Embedding.fit(training, Embedding.W2VConfig(vectorSize = 32, numPartitions = p))
+      lastModel = Some(Embedding.fit(training,
+        Embedding.W2VConfig(vectorSize = 32, numPartitions = p)))
+      if (firstModel.isEmpty) firstModel = lastModel
       p -> (System.nanoTime() - t0) / 1e9
+    }
+
+    // GRAFT_W2V_SHARDS (comma list): A/B the shard-and-average fit
+    // against the sweep's LAST single fit — wall AND synonym quality
+    // (mean top-10 cosine-neighbor overlap over 20 probe entities; the
+    // quality side is what decides whether an end-only model average
+    // preserves the structure MLlib's per-iteration averaging builds).
+    // GRAFT_W2V_SHARD_PARTS sizes each shard's fit (default cores —
+    // the curve's optimum once shards carry <= 500k-bag partitions).
+    val shardSpecs = sys.env.get("GRAFT_W2V_SHARDS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    val shardedJson = if (shardSpecs.isEmpty) "{}" else {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.ml.functions.vector_to_array
+      import org.apache.spark.sql.functions._
+      val probeWords = (0 until 20).map(i => f"ENSG$i%09d")
+      def topK(vectors: DataFrame, k: Int): Map[String, Set[String]] = {
+        val v = vectors.select(col("word"), vector_to_array(col("vector")).as("e"))
+        val q = v.filter(col("word").isin(probeWords: _*))
+          .select(col("word").as("qw"), col("e").as("qe"))
+        val w = Window.partitionBy(col("qw")).orderBy(col("s").desc, col("word"))
+        v.crossJoin(broadcast(q)).filter(col("word") =!= col("qw"))
+          .select(col("qw"), col("word"),
+            graft.functions.VectorOps.cosine(col("e"), col("qe")).as("s"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select("qw", "word").collect()
+          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      }
+      val refTop = topK(lastModel.get.getVectors, 10)
+      // noise floor: two SINGLE fits (the sweep's first and last — same
+      // seed, different replica layouts) disagree too; sharded agreement
+      // should be read against this, not against 1.0
+      val selfAgree =
+        if (parts.size < 2) -1.0
+        else {
+          val t = topK(firstModel.get.getVectors, 10)
+          val a = probeWords.map(w =>
+            refTop.getOrElse(w, Set.empty).intersect(t.getOrElse(w, Set.empty)).size / 10.0)
+          a.sum / a.size
+        }
+      System.err.println(s"[w2v-probe] single-vs-single top-10 agreement floor: $selfAgree")
+      val shardParts = sys.env.getOrElse("GRAFT_W2V_SHARD_PARTS", cpus.toString).toInt
+      shardSpecs.map { s =>
+        val t0 = System.nanoTime()
+        val avg = Embedding.fitSharded(training,
+          Embedding.W2VConfig(vectorSize = 32, numPartitions = shardParts), s)
+          .persist()
+        avg.count() // the averaging agg is lazy; time it inside the fit wall
+        val sec = (System.nanoTime() - t0) / 1e9
+        val got = topK(avg, 10)
+        avg.unpersist()
+        val agree = probeWords.map(w =>
+          refTop.getOrElse(w, Set.empty).intersect(got.getOrElse(w, Set.empty)).size / 10.0)
+        s""""$s":{"sec":$sec,"agreement":${agree.sum / agree.size},"self_floor":$selfAgree}"""
+      }.mkString("{", ",", "}")
     }
 
     val partsJson = timings.map { case (p, s) => s""""$p":$s""" }.mkString("{", ",", "}")
     println(s"""{"metric":"w2v_fit","unit":"sec","docs":$docs,"entities":$entities,""" +
-      s""""vocab":$vocab,"bags":$bags,"vector_size":32,"max_iter":3,"parts":$partsJson}""")
+      s""""vocab":$vocab,"bags":$bags,"vector_size":32,"max_iter":3,"parts":$partsJson,""" +
+      s""""sharded":$shardedJson}""")
     spark.stop()
   }
 }
