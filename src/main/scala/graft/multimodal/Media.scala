@@ -82,6 +82,7 @@ object Media {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
       if (!mediaType.startsWith("image/")) fallback.decode(mediaType, payload)
       else {
+        Codecs.ensure()
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) throw new IllegalArgumentException(
           s"payload is not a decodable $mediaType image (${payload.length} bytes)")
@@ -243,6 +244,7 @@ object Media {
     * [meanR, meanG, meanB]); throws on undecodable bytes.
     */
   private[multimodal] def decodeFrame(payload: Array[Byte], chunk: (Int, Int)): (Int, Int, Array[Float]) = {
+    Codecs.ensure()
     val (off, len) = chunk
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload, off, len))
@@ -313,19 +315,10 @@ object Media {
     * oracle despite PNG bytes themselves being codec-version-dependent.
     */
   /** Solid-color PNG bytes for the deterministic fixtures. */
-  private[multimodal] def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  private[multimodal] def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] =
+    // direct PNG encode (graft.multimodal.Png): same pixels, ~10 µs vs
+    // ImageIO.write's ~375 µs — fixture encode is in the timed path
+    Png.encodeRgb(w, h, (_, _) => rgb)
 
   private def docRgb(id: Long): Int =
     (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt

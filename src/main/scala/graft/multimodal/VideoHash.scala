@@ -30,6 +30,7 @@ object VideoHash {
     require(frameStride > 0, "frameStride must be positive")
     import spark.implicits._
     rows.mapPartitions { it =>
+      Codecs.ensure()
       it.flatMap { r =>
         try {
           val chunks = Media.aviFrameChunks(r.payload)
@@ -237,25 +238,14 @@ object VideoHash {
         val split = (2 + id % 2).toInt
         val twoScene = id % 3 != 0
         val frames = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 9) {
-              val v =
-                if (twoScene && f >= split)
-                  ((id * 31 + f * 17 + x.toLong * x * 13 + y.toLong * y * 7 + 97) % 251).toInt
-                else
-                  ((id * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13) % 251).toInt
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
-          }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          out.toByteArray
+          Png.encodeRgb(9, 8, (x, y) => {
+            val v =
+              if (twoScene && f >= split)
+                ((id * 31 + f * 17 + x.toLong * x * 13 + y.toLong * y * 7 + 97) % 251).toInt
+              else
+                ((id * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13) % 251).toInt
+            (v << 16) | (v << 8) | v
+          })
         }
         val base = MediaRow(id, "video/avi", buildAvi(frames))
         // planted TRIMMED copy (id + 10⁶, frames 1..n−1) of every 10th
@@ -312,23 +302,12 @@ object VideoHash {
   def gradientFrames(imgId: Long, delta: Int): IndexedSeq[Array[Byte]] = {
     val nFrames = (2 + imgId % 3).toInt
     (0 until nFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 9) {
-          val d = if (f == 0 && x == 0 && y == 0) delta else 0
-          val v = (((imgId * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13)
-            % 251) + d).toInt
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      Png.encodeRgb(9, 8, (x, y) => {
+        val d = if (f == 0 && x == 0 && y == 0) delta else 0
+        val v = (((imgId * 31 + f * 17 + x.toLong * x * 7 + y.toLong * y * 13)
+          % 251) + d).toInt
+        (v << 16) | (v << 8) | v
+      })
     }
   }
 

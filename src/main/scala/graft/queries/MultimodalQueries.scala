@@ -502,7 +502,15 @@ object MultimodalQueries {
     (s, dir) =>
       val rows = graft.multimodal.ImageHash
         .syntheticGradientPngs(t(s, dir, "documents"), s, planted = true)
+      // EAGER CHECKPOINT of the 16-byte hash rows (r10, guide §2.4/§8):
+      // the banded self-join has no exchange below the branch point (the
+      // banding posexplode is pure map lineage over the decode), so the
+      // broadcast pair join's probe AND build sides each re-ran the full
+      // encode+decode chain — the d20 plan-audit's 2× decode (A/B in
+      // OPTIMIZATION_r10.md). The decode-once discipline the ImageHash
+      // scaladoc prescribes, applied inside the query.
       val hashes = graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+        .localCheckpoint(true)
       graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3)
   }
 
@@ -539,7 +547,9 @@ object MultimodalQueries {
     (s, dir) =>
       val rows = graft.multimodal.ImageHash
         .syntheticGradientPngs(t(s, dir, "documents"), s, planted = true)
+      // eager checkpoint: decode-once for the banded pair join (see d16)
       val hashes = graft.multimodal.ImageHash.dhashDocs(rows, s, lenient = true)
+        .localCheckpoint(true)
       graft.dedup.Dedup.clusters(
         graft.dedup.Dedup.simhashPairs(hashes, bits = 64, maxHamming = 3))
   }
@@ -648,7 +658,9 @@ object MultimodalQueries {
     (s, dir) =>
       val rows = graft.multimodal.AudioHash
         .syntheticPcmWavs(t(s, dir, "documents"), s, planted = true)
+      // eager checkpoint: decode-once for the banded pair join (see d16)
       val fps = graft.multimodal.AudioHash.fingerprintDocs(rows, s, lenient = true)
+        .localCheckpoint(true)
       graft.dedup.Dedup.simhashPairs(fps, bits = 64, maxHamming = 3)
   }
 
@@ -724,7 +736,14 @@ object MultimodalQueries {
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
     val rows = graft.multimodal.VideoHash
       .syntheticGradientAvis(t(s, dir, "documents"), s, planted = true)
+    // EAGER CHECKPOINT (r10): the d20 plan audit showed the decode chain
+    // executing twice — PushDownLeftSemiAntiJoin rewrites the hot-hash
+    // anti join below `dist`'s distinct aggregate on the probe side, so
+    // the probe's lineage is no longer canonically equal to the hot
+    // chain's and AQE cannot share the distinct's exchange stage (the
+    // exactDupSpans mechanism, here with codec CPU under it).
     val hashes = graft.multimodal.VideoHash.frameHashes(rows, s, lenient = true)
+      .localCheckpoint(true)
     graft.multimodal.VideoHash.sharedFramePairs(hashes, minShared = 2)
   }
 
@@ -777,7 +796,12 @@ object MultimodalQueries {
        |FROM isl GROUP BY doc1, doc2, d, g
        |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
     val rows = graft.multimodal.VideoHash.alignmentAvis(t(s, dir, "documents"), s)
+    // EAGER CHECKPOINT (r10): `pos` branches into the hot-hash aggregate
+    // and BOTH sides of the frame-hash equi-join with NO exchange below
+    // the branch point (pure map lineage over the decode), so the decode
+    // chain executed 3× — the dominant cost of the round-9 9.96 s.
     val hashes = graft.multimodal.VideoHash.frameHashes(rows, s)
+      .localCheckpoint(true)
     graft.multimodal.VideoHash.alignedFrameRuns(hashes, minRun = 2)
   }
 
