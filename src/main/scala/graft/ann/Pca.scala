@@ -97,9 +97,14 @@ object Pca {
     // shuffle carries only per-partition partials at any corpus size.
     val withX = embeddings
       .select(transform(col(embCol), _.cast("double")).as("x"))
-    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        element_at(col("x"), i + 1) * element_at(col("x"), j + 1))))
+    // r10: the product stream is a native codegen kernel
+    // (TriangleProductsExpression) — the previous
+    // flatten(transform(sequence…)) nested-lambda form ran interpreted
+    // (higher-order functions are CodegenFallback), costing ~2 080
+    // lambda evaluations per row; the kernel emits the identical
+    // products in the identical order (A/B + plan diff in
+    // OPTIMIZATION_r10.md)
+    val prods = graft.functions.VectorExpressions.triangleProducts(col("x"), dim)
     val sums = withX
       .select(posexplode(prods).as(Seq("pos", "xy")))
       .groupBy(col("pos"))

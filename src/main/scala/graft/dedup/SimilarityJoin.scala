@@ -79,6 +79,15 @@ object SimilarityJoin {
     val keyed = toks.join(dfreq, "tok")
       .select(col("doc_id"),
         concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("k"))
+    // `ordered` feeds FOUR consumers (both prefix-candidate join sides +
+    // both verify re-attach joins) and its post-shuffle collect_list
+    // merge + sort_array re-executes once per consumer (4× in the r10
+    // plan audit) — but an eager localCheckpoint here was A/B-REFUTED at
+    // sf0.1 (5.31 s → 10.98 s, OPTIMIZATION_r10.md): materializing the
+    // full sorted-key-array table through the block store costs more
+    // than three re-merges, the cappedShingleIntersections lesson again.
+    // The heavy work below the groupBy exchange (token explode + df
+    // join) is AQE-stage-shared and runs once either way.
     val ordered = keyed
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("k"))).as("ks"))

@@ -179,6 +179,76 @@ case class SumSqExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** Flat upper-triangle product stream for the covariance kernel
+  * (Pca.covariance): element k of the output is x(i)·x(j) for the k-th
+  * (i ≤ j < dim) pair in row-major order — exactly the old
+  * `flatten(transform(sequence(0, dim−1), i => transform(sequence(i,
+  * dim−1), j => element_at(x, i+1) * element_at(x, j+1))))`, which built
+  * d(d+1)/2 products per row through interpreted lambda machinery.
+  * `element_at` past the end of a short array is null, and a null input
+  * element poisons its products to null — both replicated.
+  */
+case class TriangleProductsExpression(child: Expression, dim: Int)
+    extends UnaryExpression with VectorExprHelpers {
+  require(dim > 0, "dim must be positive")
+  override def prettyName: String = "vec_triangle_products"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArr(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def nullSafeEval(a: Any): Any =
+    TriangleProductsExpression.kernel(a.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ca =>
+      s"${ev.value} = graft.functions.TriangleProductsExpression$$.MODULE$$.kernel($ca, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): TriangleProductsExpression =
+    copy(child = newChild)
+}
+
+object TriangleProductsExpression {
+  def kernel(arr: ArrayData, dim: Int): ArrayData = {
+    val n = arr.numElements()
+    // hoist the element reads: value i is reused across its dim − i pairs
+    val xs = new Array[Double](dim)
+    val ok = new Array[Boolean](dim)
+    var anyNull = false
+    var i = 0
+    while (i < dim) {
+      if (i < n && !arr.isNullAt(i)) { xs(i) = arr.getDouble(i); ok(i) = true }
+      else anyNull = true
+      i += 1
+    }
+    if (!anyNull) {
+      // fast path: primitive output, no boxing
+      val out = new Array[Double](dim * (dim + 1) / 2)
+      var k = 0
+      i = 0
+      while (i < dim) {
+        val xi = xs(i)
+        var j = i
+        while (j < dim) { out(k) = xi * xs(j); k += 1; j += 1 }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](dim * (dim + 1) / 2)
+      var k = 0
+      i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          out(k) = if (ok(i) && ok(j)) java.lang.Double.valueOf(xs(i) * xs(j)) else null
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotExpression(
@@ -191,4 +261,6 @@ object VectorExpressions {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def sumSq(a: Column): Column =
     GraftSqlBridge.column(SumSqExpression(GraftSqlBridge.expression(a)))
+  def triangleProducts(a: Column, dim: Int): Column =
+    GraftSqlBridge.column(TriangleProductsExpression(GraftSqlBridge.expression(a), dim))
 }
