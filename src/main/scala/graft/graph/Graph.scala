@@ -153,8 +153,13 @@ object Graph {
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
     graft.core.AqeHints.withTinyRowAdvisory(edges.sparkSession) {
       val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      // Checkpoint the adjacency ONCE (the [[kCorePeel]] discipline):
+      // every round is its own eager action, so a lazy `und` re-executes
+      // the caller's edge derivation — for the g5 fixture, an md5
+      // self-join over the tripled corpus — once per round.
       val und = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true, ser)
       var dist = seeds.select(col("node")).distinct()
         .withColumn("dist", lit(0L)).localCheckpoint(true, ser)
       for (_ <- 1 to rounds) {
@@ -166,6 +171,7 @@ object Graph {
         graft.core.Checkpoints.unpersistCheckpoint(dist)
         dist = next
       }
+      graft.core.Checkpoints.unpersistCheckpoint(und)
       dist
     }
 
@@ -206,8 +212,12 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
     graft.core.AqeHints.withTinyRowAdvisory(edges.sparkSession) {
       val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      // Checkpoint the adjacency ONCE (the [[kCorePeel]] discipline):
+      // each of the `rounds` eager actions PLUS the label seeding would
+      // otherwise re-execute the caller's edge derivation from scratch.
       val und = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true, ser)
       var labels = und.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint(true, ser)
       for (_ <- 1 to rounds) {
@@ -221,6 +231,7 @@ object Graph {
         graft.core.Checkpoints.unpersistCheckpoint(labels)
         labels = next
       }
+      graft.core.Checkpoints.unpersistCheckpoint(und)
       labels
     }
 
