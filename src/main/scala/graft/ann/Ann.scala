@@ -213,24 +213,36 @@ object Ann {
     assigned.select(col("vec_id"), col("cell"))
   }
 
-  /** Nearest-centroid assignment as a COMBINABLE aggregate, not a window:
-    * after the broadcast crossJoin each vector's k candidate rows are
-    * co-located, so `max_by` reduces them map-side to one row per vector
-    * BEFORE the exchange — the shuffle carries N rows instead of the N×k
-    * full-vector rows a `Window.partitionBy(vec_id)` would move every
-    * Lloyd round. Tie-break matches the old window ordering exactly:
-    * (sim desc, cell asc), encoded as max over struct(sim, -cell), which
-    * is total because cell is unique per candidate row.
+  /** Nearest-centroid assignment as a MAP-SIDE argmax, no exchange at
+    * all: the k centroids are packed into ONE broadcast row (k is the
+    * caller's coarse-quantizer size — KBs to MBs), and each vector picks
+    * its cell via `array_max` over the per-candidate (sim, −cell)
+    * structs. The previous shape (broadcast crossJoin to N×k candidate
+    * rows, then a `groupBy(vec_id).max_by` whose partials reduced
+    * map-side) still paid one full-corpus exchange carrying the RAW
+    * VECTORS per Lloyd round — at iters rounds the corpus crossed the
+    * wire iters+1 times for an argmin the broadcast side fully
+    * determines. Tie-break matches the old aggregate exactly:
+    * (sim desc, cell asc) encoded as max over struct(sim, −cell) —
+    * total because cell is unique per candidate — and the kernel
+    * arithmetic is the same [[VectorOps.cosine]] evaluated per element
+    * (tight interpreted loop; the HOF lambda itself is k boxed calls
+    * per row, amortized against removing the exchange). The empty-cents
+    * filter keeps the degenerate case identical to the old crossJoin
+    * (no centroids → no output rows, not null cells).
     */
-  private[ann] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cell"),
-        VectorOps.cosine(col("e"), col("ce")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("e"), col("cell")),
-        struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"))
-      .select(col("vec_id"), col("best.e").as("e"), col("best.cell").as("cell"))
+  private[ann] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cell"), col("ce"))).as("cands"))
+      .filter(size(col("cands")) > 0)
+    vecs.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("e"),
+        array_max(transform(col("cands"), c =>
+          struct(VectorOps.cosine(col("e"), c.getField("ce")).as("sim"),
+            (-c.getField("cell")).as("neg_cell")))).as("best"))
+      .select(col("vec_id"), col("e"),
+        (-col("best").getField("neg_cell")).as("cell"))
+  }
 
   /** Symmetric int8 scalar quantization of the embedding column — the
     * 4× storage/bandwidth compressor an embedding store runs before

@@ -44,21 +44,29 @@ object Pq {
       .select(col("vec_id"), col("sub"),
         slice(col("e"), col("sub") * subDim + 1, lit(subDim)).as("se"))
 
-  /** Nearest-codebook-entry assignment as a COMBINABLE aggregate (the
-    * assignCells discipline): after the broadcast codebook join each
-    * (vec, sub)'s k candidate rows are co-located, so `min_by` reduces
-    * them map-side before any exchange. Tie-break (dist asc, cell asc)
-    * is total because cell is unique per candidate row.
+  /** Nearest-codebook-entry assignment as a MAP-SIDE argmin (the
+    * assignCells discipline, Ann.scala): the per-subspace codebook is
+    * packed to one array row and broadcast, and each (vec, sub) row
+    * picks its code via `array_min` over (dist, cell) structs — NO
+    * exchange. The previous broadcast-join + `groupBy(vec_id, sub)`
+    * min_by shape shuffled corpus×m rows CARRYING THE SUBVECTOR ARRAYS
+    * once per assignment (every Lloyd round plus the final encode) for
+    * an argmin the broadcast side fully determines. Tie-break
+    * (dist asc, cell asc) is unchanged and total because cell is unique
+    * per candidate; the empty-books case stays empty via the inner
+    * equi-join on sub.
     */
-  private[ann] def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(books), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("se"), col("cell"),
-        VectorOps.l2Dist(col("se"), col("ce")).as("dist"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("se"), col("cell")),
-        struct(col("dist"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("sub"),
-        col("best.se").as("se"), col("best.cell").as("cell"))
+  private[ann] def assignCodes(subs: DataFrame, books: DataFrame): DataFrame = {
+    val packed = books.groupBy(col("sub"))
+      .agg(collect_list(struct(col("cell"), col("ce"))).as("cands"))
+    subs.join(broadcast(packed), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("se"),
+        array_min(transform(col("cands"), b =>
+          struct(VectorOps.l2Dist(col("se"), b.getField("ce")).as("dist"),
+            b.getField("cell").as("cell")))).as("best"))
+      .select(col("vec_id"), col("sub"), col("se"),
+        col("best").getField("cell").as("cell"))
+  }
 
   /** Per-subspace codebooks (sub, cell, ce: array<double>) via `iters`
     * Lloyd rounds over all m subspaces IN ONE PLAN — the subspace index

@@ -187,21 +187,43 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  "assignCells" should "reduce to one row per vector via a map-side aggregate, not a window" in {
+  "assignCells" should "pick each vector's cell map-side with no corpus exchange" in {
     // a Window.partitionBy(vec_id) would shuffle all N×k candidate rows
-    // (carrying full vectors) once per Lloyd round; the max_by aggregate
-    // combines map-side to N rows before its single exchange
+    // (carrying full vectors) once per Lloyd round, and even the old
+    // groupBy(vec_id).max_by shape paid one full-corpus exchange; the
+    // packed-codebook array_max computes the argmax per row, so the only
+    // exchange left is the SinglePartition one packing the k centroids
     val vecs = emb.select(col("vec_id"),
       graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
     val cents = vecs.limit(4).select(
       (col("vec_id") % 4).cast("int").as("cell"), col("e").as("ce"))
     val plan = Ann.assignCells(vecs, cents).queryExecution.executedPlan.toString()
     plan should not include "Window"
-    plan should include("max_by")
-    // exactly one shuffle: the aggregate's own exchange (the centroid
-    // side moves by broadcast)
+    plan should include("array_max")
+    // NO hash exchange anywhere: the corpus side never shuffles, the
+    // centroid side moves by broadcast
     plan.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") shouldBe 1
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+  }
+
+  it should "agree with the groupBy/max_by assignment it replaced" in {
+    // semantic lock for the map-side reshape: same argmax, same
+    // (sim desc, cell asc) tie-break, for every vector
+    val vecs = emb.select(col("vec_id"),
+      graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
+    val cents = vecs.limit(4).select(
+      (col("vec_id") % 4).cast("int").as("cell"), col("e").as("ce"))
+    val sim = graft.functions.VectorOps.cosine(col("e"), col("ce"))
+    val legacy = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cell"), sim.as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("cell")),
+        struct(col("sim"), (-col("cell")).as("neg_cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+    val got = Ann.assignCells(vecs, cents).select(col("vec_id"), col("cell"))
+    got.exceptAll(legacy).count() shouldBe 0
+    legacy.exceptAll(got).count() shouldBe 0
+    got.count() shouldBe vecs.count()
   }
 
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
