@@ -55,6 +55,9 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // guide §1.5: label the jobs so stage-level forensics (event log /
+      // UI) can attribute stages to queries; thread-local, zero cost
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -97,6 +100,7 @@ object Bench {
         .sortBy(-_._2).take(5).map(_._1)
       outliers.map { name =>
         val fn = selected(name)
+        spark.sparkContext.setJobDescription(s"bench-isolated:$name")
         val runs = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
