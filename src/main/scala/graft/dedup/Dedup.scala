@@ -31,6 +31,30 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(sh).as("shingle"))
   }
 
+  /** (doc_id, shingle: long) hashed word n-grams — the narrow twin of
+    * [[shingles]] for consumers that only ever compare shingles by
+    * EQUALITY (inverted indexes, df caps, intersection counts): the
+    * xxhash64 runs directly over the n-token array slice, so no shingle
+    * string is ever built (no zip_with lambda chain, no concat
+    * allocations) and everything downstream shuffles 8-byte longs
+    * instead of ~30–40-byte strings (guide §2.3/§4; the x36 exactDupSpans
+    * construction at n=3). Token arrays join with single spaces, so the
+    * string form is injective in the token sequence and both forms
+    * induce the same shingle equivalence classes (modulo 2⁻⁶⁴
+    * collisions). `w` is a projected attribute, so the per-position
+    * slice is a cheap array view, never a re-split (the shingles()
+    * house rule).
+    */
+  def shingleHashes(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs.filter(size(w) >= n)
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("pos"), col("w"))
+      .select(col("doc_id"), xxhash64(slice(col("w"), col("pos"), lit(n))).as("shingle"))
+  }
+
   /** Exact dedup by content hash: one row per distinct text with the
     * canonical (minimum) id and the duplicate count. Shuffles 32-char
     * hashes, not documents.
@@ -342,9 +366,14 @@ object Dedup {
       // doc_id and labels only ever hold doc_ids, so the lookup is total)
       val jump = labels
         .select(col("doc_id").as("label"), col("label").as("plabel"))
-      // the changed flag rides along in the checkpointed projection, so
-      // convergence detection is a filter-count over materialized rows —
-      // no extra join against the previous labels
+      // the changed count is OBSERVED during the checkpoint action
+      // itself (CollectMetricsExec passes rows through and accumulates),
+      // so convergence detection costs zero extra jobs — the previous
+      // filter-count over the materialized blocks was cheap but paid one
+      // more scheduled job per round, and the loop's wall at converged
+      // scale is all per-round fixed cost (r10 d17 stage trace: ~70
+      // sub-second stages per run)
+      val obs = org.apache.spark.sql.Observation(s"clusters_changed_$iter")
       val next = labels.join(prop, Seq("doc_id"), "left")
         .join(jump, Seq("label"), "left")
         .select(col("doc_id"),
@@ -352,8 +381,9 @@ object Dedup {
             coalesce(col("nlabel"), col("label")),
             coalesce(col("plabel"), col("label"))).as("nextLabel"),
           col("label").as("prevLabel"))
+        .observe(obs, count(when(col("nextLabel") =!= col("prevLabel"), 1)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       // next is materialized — free the superseded round's label blocks
       // so block-manager usage stays one-generation-bounded over the
       // O(log diameter) rounds (same discipline as CorpusStream's fold)
@@ -550,7 +580,11 @@ object Dedup {
     // across ITERATED plans whose subtrees are not canonically equal
     // (semanticDedup's Lloyd rounds, clusters' pointer doubling) —
     // never for plain multi-consumer lineage in a single action.
-    val dist = shingles(docs).distinct()
+    // hashed-long shingles (r10): this core only ever compares shingles
+    // by equality, so the whole index — distinct, df agg, anti-join,
+    // self-join — runs over xxhash64 longs instead of shingle strings;
+    // see [[shingleHashes]] for the equivalence argument
+    val dist = shingleHashes(docs).distinct()
     val hot = dist.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
@@ -611,11 +645,22 @@ object Dedup {
     // TextQuality.overlapPairs scaladoc has the full mechanism;
     // measured here: 2.30 s → 1.29 s isolated at sf0.1, identical
     // output).
+    // xxhash64 DIRECTLY over the token-array slice (r10, guide §2.3/§4):
+    // the hash is internal candidate plumbing — positions match on
+    // window EQUALITY and the df cap counts distinct docs per window
+    // content, so any collision-free hash yields the identical span set
+    // (the oracle keeps its md5-hex and agrees because both sides only
+    // ever compare a window with itself). The previous
+    // substring(md5(array_join(...)), 1, 16) built a k-token string and
+    // ran a cryptographic digest per position (the x36/x45 stage
+    // profile: 60–120 s task CPU at sf0.1, nearly all in this map) and
+    // shuffled a 16-char key; xxhash64 hashes the UnsafeArrayData
+    // in place and ships 8 bytes.
     val positions = words
       .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"),
         col("w"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        substring(md5(array_join(slice(col("w"), col("pos"), lit(k)), " ")), 1, 16).as("h"))
+        xxhash64(slice(col("w"), col("pos"), lit(k))).as("h"))
       .repartition(col("doc_id"))
     val hot = positions.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))

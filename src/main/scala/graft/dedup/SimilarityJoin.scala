@@ -122,9 +122,21 @@ object SimilarityJoin {
         col("n2") >= lit(minJaccard) * col("n1") &&
         col("n1") >= lit(minJaccard) * col("n2"))
       .dropDuplicates("doc1", "doc2")
+    // verify over HASHED key arrays (r10, guide §2.3/§4): the exact
+    // |∩|/|∪| needs set identity, never the key text, so the attach
+    // joins ship xxhash64 longs (8 B/element) instead of the padded
+    // df++shingle strings (~30–50 B), and array_intersect/array_union
+    // compare longs instead of UTF8 strings — the d14 stage profile put
+    // nearly all remaining CPU in this verify. Keys are distinct per
+    // doc by construction, so the hashed arrays have the same sizes and
+    // the same intersection cardinalities as the key arrays (collision
+    // odds ~n²/2⁶⁴ per doc pair); the prefix side keeps the string keys
+    // because the rare-first ORDER lives there.
+    val hashed = ordered.select(col("doc_id"),
+      transform(col("ks"), k => xxhash64(k)).as("kh"))
     val withArrays = cand
-      .join(ordered.select(col("doc_id").as("doc1"), col("ks").as("t1")), Seq("doc1"))
-      .join(ordered.select(col("doc_id").as("doc2"), col("ks").as("t2")), Seq("doc2"))
+      .join(hashed.select(col("doc_id").as("doc1"), col("kh").as("t1")), Seq("doc1"))
+      .join(hashed.select(col("doc_id").as("doc2"), col("kh").as("t2")), Seq("doc2"))
     val jac = size(array_intersect(col("t1"), col("t2"))).cast("double") /
       size(array_union(col("t1"), col("t2"))).cast("double")
     withArrays.select(col("doc1"), col("doc2"), jac.as("jaccard"))

@@ -64,7 +64,16 @@ object LangModel {
       textCol: String = "text", lambda: Double = 0.7): DataFrame = {
     val w = split(col(textCol), " ")
     val scorable = docs.filter(size(w) >= 2)
-    val bg = bigrams(docs, idCol, textCol)
+    // uniform doc-keyed exchange as the shared lineage cut (the
+    // TextQuality.overlapPairs remedy, measured 2.9× there): the bigram
+    // stream is pure map-side lineage consumed THREE times (token
+    // stream → unigram counts, bigram counts, and the scored join), so
+    // without an exchange between, each consumer re-executes the
+    // split+explode of the whole corpus; one repartition makes the
+    // three consumers share a single canonical exchange via AQE stage
+    // reuse (r10 x31 stage profile: ~100 s task CPU, almost all in the
+    // repeated explode lineage, shuffles ≤ 2 MB)
+    val bg = bigrams(docs, idCol, textCol).repartition(col("doc_id"))
     // token stream = every w1 plus each doc's final word (covers every
     // token exactly once); unigram counts come from it
     val tokens = bg.select(col("doc_id"), col("w1").as("w"))

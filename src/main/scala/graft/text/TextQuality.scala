@@ -289,8 +289,11 @@ object TextQuality {
     // map-side partial of the (doc_id, m) distinct and concentrates the
     // SMJ sort. Refuted and reverted; the distinct's own keying is the
     // better plan.
-    val sh = graft.dedup.Dedup.shingles(docs, n = n)
-      .select(col("doc_id"), md5(col("shingle")).as("m"))
+    // hashed-long shingles (r10): m is identity-only here (df counts,
+    // per-doc rollup — never emitted), so the index runs over xxhash64
+    // longs instead of md5 hex strings; see Dedup.shingleHashes
+    val sh = graft.dedup.Dedup.shingleHashes(docs, n = n)
+      .select(col("doc_id"), col("shingle").as("m"))
       .distinct()
     // sh is distinct per (doc, m), so count per m IS document frequency
     val df = sh.groupBy(col("m")).agg(count(lit(1)).as("df"))
