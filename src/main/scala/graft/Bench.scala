@@ -69,8 +69,15 @@ object Bench {
         }
       }
       val ok = runs.collect { case (t, None) => t }
-      if (ok.nonEmpty) (name, ok.min, None: Option[String])
-      else (name, -1.0, runs.head._2)
+      val rec = if (ok.nonEmpty) (name, ok.min, None: Option[String])
+                else (name, -1.0, runs.head._2)
+      // Stream one line per finished query to stderr so a run killed at a
+      // timeout still leaves a per-query trail (BENCH_r10 died at rc 124
+      // with zero attributable output because results were only printed at
+      // the end). Additions-only: the final JSON line is unchanged.
+      System.err.println(
+        s"""[bench-progress] {"query":"${rec._1}","sec":${rec._2}}""")
+      rec
     }
     // Isolated re-run of the top baseline-ratio outliers: composition
     // noise (JIT/GC state left by the alphabetical predecessor) has
@@ -108,7 +115,10 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case scala.util.control.NonFatal(_) => None }
         }
-        name -> (if (runs.nonEmpty) runs.min else -1.0)
+        val sec = if (runs.nonEmpty) runs.min else -1.0
+        System.err.println(
+          s"""[bench-progress] {"query":"$name","sec":$sec,"isolated":true}""")
+        name -> sec
       }.toMap
     }
     val isoJson = isolated.toSeq.sortBy(_._1)

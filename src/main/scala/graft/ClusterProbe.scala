@@ -100,6 +100,175 @@ object ClusterProbe {
       }
     }
 
+    // FUSED variant: two full rounds (prop+jump twice) per checkpoint +
+    // observation job — halves per-round fixed cost (job submission,
+    // checkpoint materialization) at ~2x plan depth per job. Output must
+    // be identical (monotone min-label fixpoint; an extra trailing round
+    // after convergence is a no-op).
+    time("fused 2-round loop") {
+      val pairs = pairsCk
+      graft.core.AqeHints.withTinyRowAdvisory(spark) {
+        val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+          .distinct()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+          .localCheckpoint()
+        var checkpointed = labels
+        var frontier = labels
+        var iter = 0
+        var changed = 1L
+        while (changed > 0 && iter < 20) {
+          val t0 = System.nanoTime()
+          // half-round 1 (prev0 threaded through so the convergence count
+          // never needs a re-join against the round's starting table)
+          val prop1 = edges.join(frontier.select(col("doc_id").as("src"), col("label")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("label")).as("nlabel"))
+          val jump1 = labels.select(col("doc_id").as("label"), col("label").as("plabel"))
+          val r1 = labels.join(prop1, Seq("doc_id"), "left")
+            .join(jump1, Seq("label"), "left")
+            .select(col("doc_id"),
+              least(col("label"),
+                coalesce(col("nlabel"), col("label")),
+                coalesce(col("plabel"), col("label"))).as("l1"),
+              col("label").as("prev0"))
+          // half-round 2 over the in-plan l1 table
+          val f1 = r1.filter(col("l1") =!= col("prev0"))
+            .select(col("doc_id").as("src"), col("l1").as("flabel"))
+          val prop2 = edges.join(f1, Seq("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("flabel")).as("nlabel2"))
+          val jump2 = r1.select(col("doc_id").as("l1"), col("l1").as("plabel2"))
+          val next = r1.join(prop2, Seq("doc_id"), "left")
+            .join(jump2, Seq("l1"), "left")
+            .select(col("doc_id"),
+              least(col("l1"),
+                coalesce(col("nlabel2"), col("l1")),
+                coalesce(col("plabel2"), col("l1"))).as("nextLabel"),
+              col("prev0").as("prevLabel"))
+            .localCheckpoint()
+          val t1 = System.nanoTime()
+          changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+          val t2 = System.nanoTime()
+          graft.core.Checkpoints.unpersistCheckpoint(checkpointed)
+          checkpointed = next
+          labels = next.select(col("doc_id"), col("nextLabel").as("label"))
+          frontier = next.filter(col("nextLabel") =!= col("prevLabel"))
+            .select(col("doc_id"), col("nextLabel").as("label"))
+          iter += 1
+          println(f"[probe] fused round $iter: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
+            f"count ${(t2 - t1) / 1e9}%.2f s, changed = $changed")
+        }
+        val diff = labels.select(col("doc_id"), col("label").as("canonical_id"))
+          .exceptAll(clus).count() +
+          clus.exceptAll(labels.select(col("doc_id"), col("label").as("canonical_id"))).count()
+        println(s"[probe] fused output diff vs clusters() = $diff")
+      }
+    }
+
+    // UNION variant: one round = union of three keyed streams (self,
+    // neighbor-prop, jump) into a SINGLE groupBy(doc_id) min — 3
+    // exchanges per round instead of 4 (prop's own groupBy and the
+    // two-join chain collapse; partial min still combines map-side on
+    // every union leg). Output must be identical per round: min over
+    // the same three candidate sets.
+    time("union 3-exchange loop") {
+      val pairs = pairsCk
+      graft.core.AqeHints.withTinyRowAdvisory(spark) {
+        val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+          .distinct()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+          .localCheckpoint()
+        var checkpointed = labels
+        var frontier = labels
+        var iter = 0
+        var changed = 1L
+        while (changed > 0 && iter < 20) {
+          val t0 = System.nanoTime()
+          val a = labels.select(col("doc_id"), col("label").as("l"),
+            col("label").as("prev"))
+          val b = edges.join(frontier.select(col("doc_id").as("src"), col("label")), "src")
+            .select(col("dst").as("doc_id"), col("label").as("l"),
+              lit(null).cast("long").as("prev"))
+          val jumpside = labels.select(col("doc_id").as("label"), col("label").as("pl"))
+          val c = labels.join(jumpside, Seq("label"))
+            .select(col("doc_id"), col("pl").as("l"), lit(null).cast("long").as("prev"))
+          val next = a.unionByName(b).unionByName(c)
+            .groupBy(col("doc_id"))
+            .agg(min(col("l")).as("nextLabel"), max(col("prev")).as("prevLabel"))
+            .localCheckpoint()
+          val t1 = System.nanoTime()
+          changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+          val t2 = System.nanoTime()
+          graft.core.Checkpoints.unpersistCheckpoint(checkpointed)
+          checkpointed = next
+          labels = next.select(col("doc_id"), col("nextLabel").as("label"))
+          frontier = next.filter(col("nextLabel") =!= col("prevLabel"))
+            .select(col("doc_id"), col("nextLabel").as("label"))
+          iter += 1
+          println(f"[probe] union round $iter: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
+            f"count ${(t2 - t1) / 1e9}%.2f s, changed = $changed")
+        }
+        val diff = labels.select(col("doc_id"), col("label").as("canonical_id"))
+          .exceptAll(clus).count() +
+          clus.exceptAll(labels.select(col("doc_id"), col("label").as("canonical_id"))).count()
+        println(s"[probe] union output diff vs clusters() = $diff")
+      }
+    }
+
+    // DESERIALIZED-edges diagnostic: same loop, edge blocks stored as row
+    // objects — isolates how much of the ~0.45 s/round floor is the
+    // per-round decode of 1.5M serialized edge rows (the broadcast join
+    // probes every edge row every round, even at frontier = 80).
+    time("deserialized-edges loop") {
+      val pairs = pairsCk
+      graft.core.AqeHints.withTinyRowAdvisory(spark) {
+        val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+          .distinct()
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+          .localCheckpoint()
+        var checkpointed = labels
+        var frontier = labels
+        var iter = 0
+        var changed = 1L
+        while (changed > 0 && iter < 20) {
+          val t0 = System.nanoTime()
+          val prop = edges.join(frontier.select(col("doc_id").as("src"), col("label")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("label")).as("nlabel"))
+          val jump = labels
+            .select(col("doc_id").as("label"), col("label").as("plabel"))
+          val next = labels.join(prop, Seq("doc_id"), "left")
+            .join(jump, Seq("label"), "left")
+            .select(col("doc_id"),
+              least(col("label"),
+                coalesce(col("nlabel"), col("label")),
+                coalesce(col("plabel"), col("label"))).as("nextLabel"),
+              col("label").as("prevLabel"))
+            .localCheckpoint()
+          val t1 = System.nanoTime()
+          changed = next.filter(col("nextLabel") =!= col("prevLabel")).count()
+          val t2 = System.nanoTime()
+          graft.core.Checkpoints.unpersistCheckpoint(checkpointed)
+          checkpointed = next
+          labels = next.select(col("doc_id"), col("nextLabel").as("label"))
+          frontier = next.filter(col("nextLabel") =!= col("prevLabel"))
+            .select(col("doc_id"), col("nextLabel").as("label"))
+          iter += 1
+          println(f"[probe] deser round $iter: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
+            f"count ${(t2 - t1) / 1e9}%.2f s, changed = $changed")
+        }
+      }
+    }
+
     // instrumented copy of the loop: where does a round's time go?
     time("instrumented loop") {
       val pairs = pairsCk

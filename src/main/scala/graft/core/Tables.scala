@@ -27,9 +27,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memo of the "does this scan already split to >= target tasks?"
+    * decision, keyed by (path, target). r11 (VERDICT r10 item 5): the
+    * previous code ran `df.rdd.getNumPartitions` on EVERY table read —
+    * a full physical-planning pass (and an RDD-conversion behavior pin)
+    * per call, paid by each of a query's table reads on each bench rep.
+    * Input files are immutable for the life of a run, and the split
+    * count is a pure function of (files, maxPartitionBytes, target), so
+    * the decision is computed once per (path, target) and reused.
+    */
+  private val splitDecision =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val enough = splitDecision.computeIfAbsent((path, target),
+      _ => df.rdd.getNumPartitions >= target)
+    if (enough) df else df.repartition(target)
   }
 }

@@ -383,7 +383,21 @@ object Dedup {
           col("label").as("prevLabel"))
         .observe(obs, count(when(col("nextLabel") =!= col("prevLabel"), 1)).as("changed"))
         .localCheckpoint()
-      changed = obs.get("changed").asInstanceOf[Long]
+      // BOUNDED wait on the observed metric (ADVICE r10): obs.get blocks
+      // forever if the QueryExecutionListener event is ever dropped
+      // (checkpoint not routed through withAction, listener bus overload).
+      // Await the metric future briefly, then fall back to the explicit
+      // filter-count — one extra job in a path that should never execute,
+      // instead of a silent hang.
+      changed =
+        try {
+          val row = scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(30, "s"))
+          row.getAs[Long]("changed")
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            next.filter(col("nextLabel") =!= col("prevLabel")).count()
+        }
       // next is materialized — free the superseded round's label blocks
       // so block-manager usage stays one-generation-bounded over the
       // O(log diameter) rounds (same discipline as CorpusStream's fold)
@@ -618,7 +632,8 @@ object Dedup {
     * the evidence needed to actually cut the span out of one copy.
     *
     * Scale shape: the position index is map-side (n−k+1 hashes per doc,
-    * 16-byte prefix of md5 — never the token payload), corpus-hot
+    * an 8-byte xxhash64 of the token window — never the token payload),
+    * corpus-hot
     * windows (license headers, boilerplate) are dropped by the same
     * broadcast-anti-join df cap as [[jaccardPairs]] — the quadratic
     * guard — and the diagonal run-merge is a per-(pair, diagonal)

@@ -273,7 +273,8 @@ object TextQuality {
     * have missed, and the score doubles as a memorization-risk audit
     * (a "new" document whose n-grams all exist elsewhere is a recombination).
     *
-    * Scale shape: shingles travel as md5 hashes (never raw text); the
+    * Scale shape: shingles travel as xxhash64 longs (never raw text —
+    * Dedup.shingleHashes, 8-byte keys); the
     * per-doc distinct, the df aggregation, and the df join all share
     * one hash-key partitioning (a single exchange feeds all three),
     * then one doc-keyed combinable rollup. No windows, no all-pairs.

@@ -39,6 +39,26 @@ class PqSpec extends SparkSpec {
     a.length shouldBe 4
   }
 
+  "assignCodes" should "agree with the broadcast-join/min_by assignment it replaced" in {
+    // semantic lock for the r10 map-side reshape (ADVICE r10: AnnSpec got
+    // one for assignCells, PqSpec did not): same argmin, same
+    // (dist asc, cell asc) tie-break, for every (vector, subspace)
+    val vecs = emb.select(col("vec_id"),
+      graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
+    val subs = Pq.subvectors(vecs, m = 4, subDim = dim / 4)
+    val books = Pq.codebooks(emb, dim, m = 4, k = 16)
+    val dist = graft.functions.VectorOps.l2Dist(col("se"), col("ce"))
+    val legacy = subs.join(broadcast(books), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+    val got = Pq.assignCodes(subs, books)
+      .select(col("vec_id"), col("sub"), col("cell"))
+    got.exceptAll(legacy).count() shouldBe 0
+    legacy.exceptAll(got).count() shouldBe 0
+    got.count() shouldBe subs.count()
+  }
+
   "adcTopK" should "equal brute force when k covers the corpus (exact-recovery limit)" in {
     // with one codebook entry per vector, each vector is its own centroid
     // after the Lloyd mean, so ADC reconstructs vectors exactly
