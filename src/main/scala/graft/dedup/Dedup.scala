@@ -338,8 +338,20 @@ object Dedup {
       .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .distinct()
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // INIT ABSORBS ROUND 1 (r11): with labels = self, the first round's
+    // jump is a no-op and its prop reduces to "min over self and
+    // neighbors" — computable directly at init as groupBy(dst).min(src)
+    // (the edge set is symmetric, so every node appears as dst and its
+    // srcs are exactly its neighbors). Cost is identical to the old
+    // init (one exchange: groupBy(dst) vs distinct-on-src), but the
+    // loop starts one round further along — and the r11 probe data
+    // shows each round is a flat ~0.45 s of edge-scan + scheduling
+    // floor at converged scale, paid per clusters() caller
+    // (d7/d12/d17/x9/x53). State equals the old round-1 output exactly:
+    // label(v) = min(v, N(v)), frontier = nodes whose label moved.
+    var labels = edges.groupBy(col("dst").as("doc_id"))
+      .agg(min(col("src")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
       .localCheckpoint()
     // the round's directly-checkpointed frame: `labels` becomes a lazy
     // projection over it after round 1, so the block-freeing handle must
@@ -354,8 +366,12 @@ object Dedup {
     // components converge; once the frontier fits the broadcast
     // threshold, AQE drops the edge-side shuffle entirely. The frontier
     // is a filter-projection of the round's checkpoint — no extra
-    // materialization or lineage.
-    var frontier = labels
+    // materialization or lineage. The init frontier is the set the
+    // absorbed first round changed (label ≠ self) — the same invariant
+    // ("everyone's label has been propagated to every neighbor in the
+    // round after it last changed") holds because the init's
+    // neighbor-min is, by edge symmetry, exactly round 1's propagation.
+    var frontier = labels.filter(col("label") =!= col("doc_id"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {

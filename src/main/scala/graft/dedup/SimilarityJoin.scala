@@ -121,6 +121,20 @@ object SimilarityJoin {
       .filter(col("doc1") < col("doc2") &&
         col("n2") >= lit(minJaccard) * col("n1") &&
         col("n1") >= lit(minJaccard) * col("n2"))
+      // EXPLICIT-COUNT repartition on the pair-dedup key (r11, guide
+      // §2.2): the exact verify below (array_intersect/array_union over
+      // the attached hash arrays) executes in the post-dedup stage, and
+      // AQE's byte-based coalescing sees only the 16-byte (doc1, doc2)
+      // pair rows — the r10 stage profile measured the whole verify on
+      // 5 tasks / 21 s CPU at sf0.1. Pinning the dedup exchange to
+      // defaultParallelism (REPARTITION_BY_NUM is exempt from
+      // coalescing) spreads the CPU-dense verify across the cores the
+      // session actually has; the count is cluster-derived, not a
+      // constant, and the dedup's own ENSURE_REQUIREMENTS exchange is
+      // replaced (not added to) because the explicit partitioning
+      // already satisfies the aggregate's distribution.
+      .repartition(toks.sparkSession.sparkContext.defaultParallelism,
+        col("doc1"), col("doc2"))
       .dropDuplicates("doc1", "doc2")
     // verify over HASHED key arrays (r10, guide §2.3/§4): the exact
     // |∩|/|∪| needs set identity, never the key text, so the attach

@@ -61,8 +61,19 @@ object VideoHash {
     val hot = dist.groupBy(col("simhash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxHashDf).select(col("simhash"))
     val kept = dist.join(broadcast(hot), Seq("simhash"), "left_anti")
-    kept.alias("a")
-      .join(kept.alias("b"),
+    // EXPLICIT-COUNT repartition on the posting key (r11, guide §2.2):
+    // the pair-count join expands each hash's posting list and partially
+    // aggregates (doc1, doc2) counts in the join stage, but its input
+    // rows are 16 bytes so AQE's byte-based coalescing collapses the
+    // stage to a few fat CPU-bound tasks (the d20 pair-count wall the
+    // r10 audit measured). REPARTITION_BY_NUM at defaultParallelism is
+    // exempt from coalescing and replaces the join's own implicit
+    // simhash exchange; skew is already bounded structurally by the
+    // maxHashDf anti-join cap above.
+    val keptP = kept.repartition(
+      kept.sparkSession.sparkContext.defaultParallelism, col("simhash"))
+    keptP.alias("a")
+      .join(keptP.alias("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("shared"))
