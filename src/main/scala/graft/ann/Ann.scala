@@ -179,6 +179,33 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("ce"))
 
+  /** Centroid vectors via ONE wide combinable aggregation (r11, guide
+    * §2.1/§2.3): when the vector width is statically known, the
+    * two-step shape ([[centroidComponents]]' posexplode →
+    * groupBy(key, dim) decimal mean → groupBy(key) collect/sort) pays
+    * two exchanges and a ×dim row blowup whose (key, dim) hashing
+    * dominates the actual arithmetic. Here each component is its own
+    * `sum(decimal)` aggregate in a single groupBy(keys) — identical
+    * arithmetic element for element (cast double → decimal(30,10) sum,
+    * cast back, divide by the group count), so results are bit-equal
+    * under any partitioning, but the plan is one exchange carrying one
+    * partial row per (key, partition) and zero exploded rows.
+    * Assumes uniform-width vectors (every caller's contract; a ragged
+    * array would change the per-component count semantics vs the
+    * explode shape).
+    */
+  private[ann] def centroidVectors(rows: DataFrame, keys: Seq[String],
+      vec: Column, dim: Int): DataFrame = {
+    require(dim > 0, s"centroidVectors needs a positive dim, got $dim")
+    val sums = (0 until dim).map(i =>
+      decSum(element_at(vec, i + 1).cast("double")).as(s"_cs$i"))
+    val aggs = sums :+ count(lit(1)).as("_cn")
+    rows.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keys.map(col) :+
+        array((0 until dim).map(i => col(s"_cs$i") / col("_cn")): _*).as("ce")): _*)
+  }
+
   /** Deterministic k-means cell assignment — the coarse quantizer that
     * makes IVF self-contained (ivfSearch's cell column no longer has to
     * be caller-supplied; C scales with the corpus by choosing k). Lloyd
@@ -190,7 +217,20 @@ object Ann {
     * corpus scan plus one (cell, dim) map-side-combinable aggregation;
     * `iters` is fixed (no driver-side convergence loop).
     */
-  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int = 1,
+      dim: Int = 0): DataFrame =
+    kmeansAssigned(embeddings, k, iters, dim).select(col("vec_id"), col("cell"))
+
+  /** As [[kmeansCells]] but keeping the double-array vector column on
+    * the assignment: (vec_id, e, cell). Lets a composition (ivfAdcTopK)
+    * build post-assignment centroids and cell-keyed code streams
+    * WITHOUT re-joining the corpus on vec_id — the assignment is pure
+    * map-side lineage over the scan, so carrying `e` costs nothing and
+    * each downstream corpus join it replaces was two exchanges plus a
+    * sort (r11).
+    */
+  private[graft] def kmeansAssigned(embeddings: DataFrame, k: Int,
+      iters: Int = 1, dim: Int = 0): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), toD(col("embedding")).as("e"))
     // the global-orderBy window below funnels through ONE task — fine
     // here and only here, because its input is the k seed rows the
@@ -201,16 +241,24 @@ object Ann {
       .select((row_number().over(seedW) - 1).cast("int").as("cell"), col("e").as("ce"))
     var assigned = assignCells(vecs, cents)
     (1 to iters).foreach { _ =>
-      val comps = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("dim0", "v")))
-        .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
-        .agg((decSum(col("v")) / count(lit(1))).as("centroid"))
-      cents = comps.groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
-          s => s.getField("centroid")).as("ce"))
+      // dim > 0 (caller knows the vector width): single-exchange wide
+      // centroid fold — bit-identical arithmetic, half the exchanges,
+      // no ×dim explode (see centroidVectors). dim = 0 keeps the
+      // width-agnostic explode shape.
+      cents =
+        if (dim > 0) centroidVectors(assigned, Seq("cell"), col("e"), dim)
+        else {
+          val comps = assigned
+            .select(col("cell"), posexplode(col("e")).as(Seq("dim0", "v")))
+            .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+            .agg((decSum(col("v")) / count(lit(1))).as("centroid"))
+          comps.groupBy(col("cell"))
+            .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+              s => s.getField("centroid")).as("ce"))
+        }
       assigned = assignCells(vecs, cents)
     }
-    assigned.select(col("vec_id"), col("cell"))
+    assigned.select(col("vec_id"), col("e"), col("cell"))
   }
 
   /** Nearest-centroid assignment as a MAP-SIDE argmax, no exchange at

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
-import graft.functions.Exact.decSum
 
 /** Product quantization (Jégou, Douze, Schmid, "Product Quantization
   * for Nearest Neighbor Search", TPAMI 2011) — the compression step that
@@ -88,13 +87,13 @@ object Pq {
         col("se").as("ce"))
     val subs = subvectors(vecs, m, sd)
     (1 to iters).foreach { _ =>
-      val comps = assignCodes(subs, books)
-        .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("dim0", "v")))
-        .groupBy(col("sub"), col("cell"), (col("dim0") + 1).as("dim"))
-        .agg((decSum(col("v")) / count(lit(1))).as("centroid"))
-      books = comps.groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
-          s => s.getField("centroid")).as("ce"))
+      // single-exchange wide centroid fold per Lloyd round (r11): the
+      // subvector width sd is static here, so the posexplode →
+      // groupBy(sub, cell, dim) → groupBy(sub, cell) two-step collapses
+      // to one combinable aggregation with identical decimal arithmetic
+      // (Ann.centroidVectors).
+      books = Ann.centroidVectors(assignCodes(subs, books),
+        Seq("sub", "cell"), col("se"), sd)
     }
     books
   }
@@ -195,8 +194,16 @@ object Pq {
   def ivfAdcTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, m: Int,
       k: Int, kCells: Int, nprobe: Int, topK: Int, iters: Int = 1): DataFrame = {
     val sd = dim / m
-    val cells = Ann.kmeansCells(embeddings, kCells, iters)
-    val cents = Ann.centroids(embeddings.join(cells, Seq("vec_id")), "cell")
+    // NOTE (r11 A/B, refuted alternative): carrying the vector/cell
+    // through a kmeansAssigned frame to delete the two corpus joins
+    // below was measured SLOWER (v13 3.07 → 3.41 s) — without the
+    // vec_id exchange the assignment's map-side cosine chain (2 Lloyd
+    // passes × k cells) re-executes once per consumer, while the join
+    // shape shares one execution through the reused exchange. The
+    // joins stay; the centroid folds are the wide single-exchange form.
+    val cells = Ann.kmeansCells(embeddings, kCells, iters, dim)
+    val cents = Ann.centroidVectors(embeddings.join(cells, Seq("vec_id")),
+      Seq("cell"), col("embedding"), dim)
     val q = queries.select(col("vec_id").as("query_id"), toD(col("embedding")).as("qe"))
     val wRoute = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val routed = q.crossJoin(broadcast(cents))

@@ -499,7 +499,7 @@ object Dedup {
     * anti-join instead of an iterative clustering pass.
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
-      tau: Double = 0.95): DataFrame = {
+      tau: Double = 0.95, dim: Int = 0): DataFrame = {
     // the (vec_id, cell) assignment feeds BOTH sides of the in-cell
     // self-join and the final anti-join; without the cut Catalyst
     // re-executes the full Lloyd chain once per consumer (measured 3×
@@ -508,7 +508,7 @@ object Dedup {
     // serialized: (vec_id, cell) is corpus-sized and scan-only across
     // its three consumers (both self-join sides + the anti-join) — the
     // SCALE.md 40M storage-level rule
-    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters)
+    val cells = graft.ann.Ann.kmeansCells(embeddings, k, iters, dim)
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val e = embeddings
       .select(col("vec_id"),

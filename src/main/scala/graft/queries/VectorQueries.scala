@@ -93,7 +93,9 @@ object VectorQueries {
          |  GROUP BY cell, dim),
          |cents AS (SELECT cell, list(centroid ORDER BY dim) AS ce FROM comps GROUP BY cell)
          |SELECT vec_id, cell FROM (${argmaxSql("cents")})""".stripMargin) { (s, dir) =>
-      Ann.kmeansCells(emb(s, dir), k = k, iters = 1)
+      // dim = 64 (embeddings fixture width): single-exchange wide
+      // centroid fold per Lloyd round (r11)
+      Ann.kmeansCells(emb(s, dir), k = k, iters = 1, dim = 64)
     }
   }
 
@@ -308,7 +310,10 @@ object VectorQueries {
       val augmented = e.unionByName(
         e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      graft.dedup.Dedup.semanticDedup(augmented, k = k, iters = 1, tau = 0.95)
+      // dim = 64 (embeddings fixture width): enables the single-exchange
+      // wide centroid fold inside kmeansCells (r11)
+      graft.dedup.Dedup.semanticDedup(augmented, k = k, iters = 1, tau = 0.95,
+        dim = 64)
     }
   }
 

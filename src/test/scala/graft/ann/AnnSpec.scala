@@ -226,6 +226,41 @@ class AnnSpec extends SparkSpec {
     got.count() shouldBe vecs.count()
   }
 
+  "centroidVectors" should "agree exactly with the explode-shape centroid fold it replaces" in {
+    // semantic lock for the r11 single-exchange wide fold: per-component
+    // decimal(30,10) sums divided by the group count must be BIT-equal
+    // to the posexplode → groupBy(cell, dim) → collect/sort chain under
+    // any partitioning (both are order-insensitive decimal arithmetic)
+    val dim = 64
+    val assigned = emb.select(col("vec_id"),
+        graft.functions.VectorOps.toDoubleArray(col("embedding")).as("e"))
+      .withColumn("cell", (col("vec_id") % 5).cast("int"))
+      .repartition(7)
+    val legacy = assigned
+      .select(col("cell"), posexplode(col("e")).as(Seq("dim0", "v")))
+      .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+      .agg((graft.functions.Exact.decSum(col("v")) / count(lit(1))).as("centroid"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("ce"))
+    val got = Ann.centroidVectors(assigned, Seq("cell"), col("e"), dim)
+    got.exceptAll(legacy).count() shouldBe 0
+    legacy.exceptAll(got).count() shouldBe 0
+    got.count() shouldBe 5
+    // and the wide fold's plan has ONE hash exchange (the explode shape
+    // pays two: (cell, dim) then (cell))
+    val plan = got.queryExecution.executedPlan.toString()
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  "kmeansCells" should "produce identical assignments with and without the static-dim fold" in {
+    val wide = Ann.kmeansCells(emb, k = 8, iters = 2, dim = 64)
+    val explode = Ann.kmeansCells(emb, k = 8, iters = 2)
+    wide.exceptAll(explode).count() shouldBe 0
+    explode.exceptAll(wide).count() shouldBe 0
+  }
+
   "kmeansCells" should "partition the corpus and feed ivfSearch end to end" in {
     val cells = Ann.kmeansCells(emb, k = 8, iters = 2).cache()
     cells.count() shouldBe emb.count()
