@@ -59,6 +59,19 @@ object Bench {
       // UI) can attribute stages to queries; thread-local, zero cost
       spark.sparkContext.setJobDescription(s"bench:$name")
       val runs = (1 to reps).map { _ =>
+        // r11 (VERDICT item 4, composed-vs-isolated gap): free the block
+        // manager of RDDs left by earlier queries/reps BEFORE the clock
+        // starts. Some operators' results necessarily outlive their query
+        // (clusters()' final round, kCorePeel's surviving edges, the
+        // triangles orientation), so their serialized blocks accumulate
+        // over a 190-query session and tax later queries' GC — the very
+        // composition noise the end-of-run isolated re-runs keep
+        // measuring (a13 3.09 composed vs 1.65 isolated on the r10
+        // driver run). Cleanup is OUTSIDE the timed region and nothing
+        // is shared across queries, so timings measure the same work as
+        // before, from a clean heap — the isolated-rerun condition,
+        // applied to every query.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -109,6 +122,7 @@ object Bench {
         val fn = selected(name)
         spark.sparkContext.setJobDescription(s"bench-isolated:$name")
         val runs = (1 to reps).flatMap { _ =>
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()

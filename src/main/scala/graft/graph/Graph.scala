@@ -43,8 +43,15 @@ object Graph {
   def triangles(edges: DataFrame): DataFrame = {
     val deg = degrees(edges)
     // orient each edge from (degree, id)-low to high; carry the head's
-    // rank so the wedge join can order its two heads without re-joining
-    val oriented = edges
+    // rank so the wedge join can order its two heads without re-joining.
+    // EAGER CHECKPOINT (r11 A/B — VERDICT item 8): the oriented frame
+    // feeds THREE consumers (both wedge-join sides + the closing-edge
+    // semi-join), so an un-cut lineage re-executes the caller's edge
+    // derivation (g1/g4: an md5 self-join over the tripled corpus) and
+    // the two degree joins once per consumer. Serialized blocks — the
+    // frame is edge-volume-sized and scan-only (the clusters() storage
+    // rule).
+    val oriented0 = edges
       .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "ddeg"), "dst")
       .select(
@@ -55,6 +62,8 @@ object Graph {
           (col("sdeg") === col("ddeg") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("hi"),
         greatest(col("sdeg"), col("ddeg")).as("hideg"))
+    val oriented = oriented0.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val o1 = oriented.select(col("lo"), col("hi").as("b"), col("hideg").as("bdeg"))
     val o2 = oriented.select(col("lo"), col("hi").as("c"), col("hideg").as("cdeg"))
     val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))

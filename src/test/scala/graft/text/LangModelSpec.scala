@@ -51,6 +51,24 @@ class LangModelSpec extends SparkSpec {
     n shouldBe 17L
   }
 
+  it should "reuse the shared bigram exchange at runtime (x31's stage-reuse bet)" in {
+    // r10 repartitioned the bigram stream onto one doc_id exchange so
+    // its three consumers (unigram counts, bigram counts, scored join)
+    // share ONE execution of the corpus explode lineage via AQE stage
+    // reuse. That is a RUNTIME property a static plan dump cannot show
+    // (the static Exchange count actually rose) — so this test runs the
+    // query and asserts the FINAL adaptive plan contains ReusedExchange
+    // nodes; if a Spark upgrade or conf change ever breaks exchange
+    // reuse, the query silently pays the triple lineage again and this
+    // goes red.
+    val df = LangModel.crossEntropy(docs)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString()
+    withClue("final adaptive plan:\n" + finalPlan) {
+      finalPlan should include("ReusedExchange")
+    }
+  }
+
   "dsirLogWeights" should "weight target-like documents above raw-typical ones" in {
     // target = docs 0..9 are "x y" repetitions; raw bulk = 40 docs of
     // hash-distinct filler; probe docs: one "x y" doc and one filler-like
