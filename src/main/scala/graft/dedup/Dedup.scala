@@ -314,6 +314,25 @@ object Dedup {
   /** As clusters(), also returning the rounds taken — the convergence
     * observability hook (DedupSpec asserts the O(log n) bound on a long
     * path graph).
+    *
+    * Structure (r11): init (absorbing round 1) → ONE-TIME GRAPH
+    * CONTRACTION → pointer-doubling loop on the contracted graph →
+    * compose. After the init round, edge (u, v) is rewritten to
+    * (label(u), label(v)); self-loops (both endpoints already agreed)
+    * are dropped and the survivors deduplicated. Every intra-component
+    * edge whose endpoints reached a common label vanishes, so the loop
+    * that follows propagates over the label-QUOTIENT graph instead of
+    * the full candidate edge set — on the dense dedup graphs this
+    * library builds, that is a collapse of orders of magnitude
+    * (RoundFloorProbe: d17's image graph, 1.54 M edges → 54 after one
+    * init round; output diff vs the uncontracted loop = 0). The final
+    * labels compose: out(v) = rep(label₁(v)), where labels absent from
+    * the contracted graph are provably converged (all-equal labels in a
+    * component mean the shared label is the component min, because the
+    * min node's label is always itself) and pass through unchanged.
+    * At scale the contraction pays one edge-sized relabel join to make
+    * every subsequent round quotient-sized — the Kiveris et al.
+    * contraction idea applied once, where it is cheapest.
     */
   def clustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // changed starts at 1 so the loop runs at least once; maxIter <= 0
@@ -342,20 +361,72 @@ object Dedup {
     // jump is a no-op and its prop reduces to "min over self and
     // neighbors" — computable directly at init as groupBy(dst).min(src)
     // (the edge set is symmetric, so every node appears as dst and its
-    // srcs are exactly its neighbors). Cost is identical to the old
-    // init (one exchange: groupBy(dst) vs distinct-on-src), but the
-    // loop starts one round further along — and the r11 probe data
-    // shows each round is a flat ~0.45 s of edge-scan + scheduling
-    // floor at converged scale, paid per clusters() caller
-    // (d7/d12/d17/x9/x53). State equals the old round-1 output exactly:
-    // label(v) = min(v, N(v)), frontier = nodes whose label moved.
-    var labels = edges.groupBy(col("dst").as("doc_id"))
+    // srcs are exactly its neighbors). State equals the old round-1
+    // output exactly: label(v) = min(v, N(v)).
+    val initLabels = edges.groupBy(col("dst").as("doc_id"))
       .agg(min(col("src")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
       .localCheckpoint()
+    // contract: relabel both edge endpoints through the init labels, drop
+    // the (now converged) self-loops, dedupe. The row count is observed
+    // during the checkpoint action itself so the empty-quotient short
+    // circuit costs no extra job.
+    val cObs = org.apache.spark.sql.Observation()
+    val cEdges = edges
+      .join(initLabels.select(col("doc_id").as("src"), col("label").as("ls")), "src")
+      .join(initLabels.select(col("doc_id").as("dst"), col("label").as("ld")), "dst")
+      .filter(col("ls") =!= col("ld"))
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .distinct()
+      .observe(cObs, count(lit(1)).as("n"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.core.Checkpoints.unpersistCheckpoint(edges)
+    val nQuotient =
+      try {
+        val row = scala.concurrent.Await.result(cObs.future,
+          scala.concurrent.duration.Duration(30, "s"))
+        row.getAs[Long]("n")
+      } catch {
+        case _: java.util.concurrent.TimeoutException => cEdges.count()
+      }
+    if (nQuotient == 0L) {
+      // every component agreed on one label at init — already the
+      // component min (the min node's label is itself)
+      graft.core.Checkpoints.unpersistCheckpoint(cEdges)
+      (initLabels.select(col("doc_id"), col("label").as("canonical_id")), 1)
+    } else {
+      val qInit = cEdges.groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src")).as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
+        .localCheckpoint()
+      val (rep, innerRounds) = propagationLoop(cEdges, qInit, maxIter)
+      graft.core.Checkpoints.unpersistCheckpoint(cEdges)
+      // compose: quotient-resolved representative of my init label; init
+      // labels outside the quotient were converged already (see scaladoc)
+      val out = initLabels
+        .join(rep.select(col("doc_id").as("label"), col("label").as("rlabel")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rlabel"), col("label")).as("canonical_id"))
+      // rounds = outer init + quotient init + inner loop rounds (each of
+      // the two inits absorbs a propagation round)
+      (out, 2 + innerRounds)
+    }
+    }
+  }
+
+  /** The pointer-doubling min-label loop over a SYMMETRIC, eagerly
+    * checkpointed edge frame and an initial (doc_id, label) frame, one
+    * row per node. Returns the converged labels (backed by the final
+    * round's checkpoint — the caller must keep it persisted) and the
+    * round count; throws on non-convergence within maxIter.
+    */
+  private def propagationLoop(edges: DataFrame, init: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
+    var labels = init
     // the round's directly-checkpointed frame: `labels` becomes a lazy
-    // projection over it after round 1, so the block-freeing handle must
-    // be the checkpoint product itself
+    // projection over it after each round, so the block-freeing handle
+    // must be the checkpoint product itself
     var checkpointed = labels
     // CONVERGED-COMPONENT FRONTIER: only labels that CHANGED last round
     // feed the edge-propagation join. Skipping an unchanged src loses
@@ -390,13 +461,27 @@ object Dedup {
       // scale is all per-round fixed cost (r10 d17 stage trace: ~70
       // sub-second stages per run)
       val obs = org.apache.spark.sql.Observation(s"clusters_changed_$iter")
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val half = labels.join(prop, Seq("doc_id"), "left")
         .join(jump, Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
-            coalesce(col("plabel"), col("label"))).as("nextLabel"),
+            coalesce(col("plabel"), col("label"))).as("l1"),
           col("label").as("prevLabel"))
+      // SECOND pointer jump (r11): label-of-label-of-label — the chain to
+      // the component min contracts ~4x per round instead of ~2x, so the
+      // loop converges in ~log4 rounds. After the one-time contraction the
+      // per-round frames are quotient-sized and each round is dominated by
+      // its fixed scheduling cost, so trading one more label-keyed join
+      // per round for ~half the rounds is a direct win (A/B below); the
+      // output is unchanged — every jump application is monotone toward
+      // the same min-label fixpoint (ClusterProbe's 2j variant, diff 0).
+      val jump2 = labels
+        .select(col("doc_id").as("l1"), col("label").as("plabel2"))
+      val next = half.join(jump2, Seq("l1"), "left")
+        .select(col("doc_id"),
+          least(col("l1"), coalesce(col("plabel2"), col("l1"))).as("nextLabel"),
+          col("prevLabel"))
         .observe(obs, count(when(col("nextLabel") =!= col("prevLabel"), 1)).as("changed"))
         .localCheckpoint()
       // BOUNDED wait on the observed metric (ADVICE r10): obs.get blocks
@@ -424,15 +509,11 @@ object Dedup {
         .select(col("doc_id"), col("nextLabel").as("label"))
       iter += 1
     }
-    // the result depends only on the final round's checkpoint — the edge
-    // blocks are dead weight once the loop exits
-    graft.core.Checkpoints.unpersistCheckpoint(edges)
     if (changed > 0) throw new IllegalStateException(
       s"clusters() did not converge in $maxIter rounds ($changed labels still " +
         "moving) — with pointer doubling this means a component ~2^maxIter hops " +
         "across; raise maxIter")
-    (labels.select(col("doc_id"), col("label").as("canonical_id")), iter)
-    }
+    (labels, iter)
   }
 
   /** Quality-aware canonical selection over resolved duplicate clusters:
